@@ -1,0 +1,42 @@
+"""Precision policy for TPU execution.
+
+The reference framework runs everything in float32/float64 on the torch side
+(`atomai/utils/nn.py:149-166` exposes a seed+precision helper). On TPU the
+MXU natively consumes bfloat16 with float32 accumulation, so the policy here
+is: parameters and optimizer state in float32, activations/compute optionally
+in bfloat16 ("mixed"), outputs in float32.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Dtype policy threaded through nets and trainers."""
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    output_dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def mixed(cls) -> "Precision":
+        return cls(param_dtype=jnp.float32,
+                   compute_dtype=jnp.bfloat16,
+                   output_dtype=jnp.float32)
+
+    @classmethod
+    def full(cls) -> "Precision":
+        return cls()
+
+
+_DEFAULT = Precision.full()
+
+
+def default_precision() -> Precision:
+    return _DEFAULT
+
+
+def set_default_precision(p: Precision) -> None:
+    global _DEFAULT
+    _DEFAULT = p

@@ -1,0 +1,77 @@
+"""Device-mesh and sharding helpers.
+
+The reference is strictly single-device (`atomai/trainers/trainer.py:70-75`
+picks one of mps/cuda/cpu; §2.10 of SURVEY.md: no DDP/NCCL anywhere). The
+TPU-native replacement scales over an ICI mesh with two named axes:
+
+* ``"data"``  — batch (data-parallel) axis; gradients are reduced by XLA
+  collectives inserted automatically under ``jit`` with sharded inputs.
+* ``"model"`` — ensemble-member axis: deep ensembles (the reference's only
+  multi-model axis, trained *sequentially* in `atomai/trainers/etrainer.py:
+  144-151`) are vmapped over parameters and sharded member-per-device here.
+
+All helpers degrade gracefully to a single device (trivial 1x1 mesh).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def get_mesh(n_data: Optional[int] = None, n_model: int = 1,
+             devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Builds a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_data is None:
+        n_data = n_dev // n_model
+    assert n_data * n_model <= n_dev, (
+        f"mesh {n_data}x{n_model} needs more than {n_dev} devices")
+    dev_array = np.asarray(devices[:n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def ensemble_mesh(n_models: int,
+                  devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh that shards ensemble members across all devices (model axis)."""
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    n_model = min(n_models, n_dev) if n_models % min(n_models, n_dev) == 0 \
+        else 1
+    return get_mesh(n_data=n_dev // n_model, n_model=n_model,
+                    devices=devices)
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Optional[Mesh], *arrays):
+    """Places arrays with leading-dim sharded over the mesh data axis.
+
+    With no mesh (single device), returns the arrays untouched. Arrays whose
+    batch dim does not divide the mesh data-axis size are replicated.
+    """
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    n_data = mesh.shape[DATA_AXIS]
+    out = []
+    for a in arrays:
+        if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] % n_data == 0:
+            out.append(jax.device_put(a, data_sharding(mesh, a.ndim)))
+        else:
+            out.append(jax.device_put(a, replicate(mesh)))
+    return tuple(out) if len(out) > 1 else out[0]

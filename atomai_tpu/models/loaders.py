@@ -1,0 +1,111 @@
+"""Model (de)serialization — self-describing checkpoints.
+
+Parity: `atomai/models/loaders.py:25-294` — ``load_model`` dispatches on
+``meta["model_type"]`` and reconstructs the model class with the stored
+constructor kwargs; ``load_ensemble`` restores the averaged weights plus
+all member weights.
+"""
+
+from typing import Any, Dict, Tuple
+
+from ..core.checkpoint import load_checkpoint
+
+
+def load_model(filepath: str):
+    """Loads a trained model from a checkpoint file
+    (reference `loaders.py:25-64`)."""
+    meta, arrays = load_checkpoint(filepath)
+    model_type = meta.get("model_type")
+    if model_type == "seg":
+        from .segmentor import Segmentor
+        kwargs = {k: v for k, v in meta.items()
+                  if k in ("batch_norm", "dropout", "with_dilation",
+                           "nb_filters", "layers")
+                  and v is not None}
+        if "upsampling" in meta:
+            kwargs["upsampling"] = meta["upsampling"]
+        model = Segmentor(meta.get("model", "Unet"),
+                          meta.get("nb_classes", 1), **kwargs)
+    elif model_type == "imspec":
+        from .imspec import ImSpec
+        kwargs = {k: meta[k] for k in
+                  ("nblayers_encoder", "nblayers_decoder",
+                   "nbfilters_encoder", "nbfilters_decoder",
+                   "encoder_downsampling", "decoder_upsampling")
+                  if k in meta}
+        if "batchnorm" in meta:
+            kwargs["batch_norm"] = meta["batchnorm"]
+        model = ImSpec(tuple(meta["in_dim"]), tuple(meta["out_dim"]),
+                       meta.get("latent_dim", 2), **kwargs)
+    elif model_type == "reg":
+        from .regressor import Regressor
+        model = Regressor(meta.get("out_dim", 1),
+                          meta.get("backbone", "mobilenet"),
+                          input_channels=meta.get("in_channels", 1))
+    elif model_type == "cls":
+        from .classifier import Classifier
+        model = Classifier(meta.get("nb_classes", 1),
+                           meta.get("backbone", "mobilenet"),
+                           input_channels=meta.get("in_channels", 1))
+    elif model_type == "vae":
+        from . import dgm
+        cls_name = meta.get("vae_type", "VAE")
+        vae_cls = getattr(dgm, cls_name)
+        kwargs = {k: meta[k] for k in
+                  ("numlayers_encoder", "numlayers_decoder",
+                   "numhidden_encoder", "numhidden_decoder",
+                   "conv_encoder", "conv_decoder", "skip", "sigmoid_out",
+                   "softplus_out")
+                  if k in meta and meta[k] is not None}
+        nb_classes = meta.get("nb_classes", 0)
+        discrete_dim = meta.get("discrete_dim")
+        latent_dim = meta.get("latent_dim", 2)
+        in_dim = tuple(meta["in_dim"])
+        if cls_name in ("jVAE", "jrVAE") and discrete_dim is not None:
+            model = vae_cls(in_dim, latent_dim, discrete_dim, **kwargs)
+        else:
+            model = vae_cls(in_dim, latent_dim, nb_classes=nb_classes,
+                            **kwargs)
+        model.load_weights_from_arrays(arrays)
+        return model
+    elif model_type == "denoising_autoencoder":
+        from .denoiser import DenoisingAutoencoder
+        model = DenoisingAutoencoder(
+            encoder_filters=meta.get("encoder_filters", [8, 16, 32, 64]),
+            decoder_filters=meta.get("decoder_filters", [64, 32, 16, 8]),
+            encoder_layers=meta.get("encoder_layers", [1, 2, 2, 2]),
+            decoder_layers=meta.get("decoder_layers", [2, 2, 2, 1]))
+    else:
+        raise ValueError(f"Unknown model type in checkpoint: {model_type}")
+    model.meta_state_dict = {**meta}
+    model.params = arrays["params"]
+    model.batch_stats = arrays.get("batch_stats")
+    return model
+
+
+def load_ensemble(filepath: str):
+    """Loads an ensemble: (smodel, ensemble_dict) (reference
+    `loaders.py:238-269`)."""
+    meta, arrays = load_checkpoint(filepath)
+    smodel = load_single_from(meta, arrays)
+    ensemble = {int(k): v for k, v in arrays["ensemble"].items()}
+    return smodel, ensemble
+
+
+def load_single_from(meta: Dict[str, Any], arrays: Dict[str, Any]):
+    from ..nets import init_fcnn_model, init_imspec_model
+    model_type = meta.get("model_type")
+    if model_type == "seg":
+        kwargs = {k: v for k, v in meta.items()
+                  if k in ("batch_norm", "dropout", "with_dilation",
+                           "nb_filters", "layers", "upsampling")
+                  and v is not None}
+        net, _ = init_fcnn_model(meta.get("model", "Unet"),
+                                 meta.get("nb_classes", 1), **kwargs)
+        return net, arrays.get("params")
+    if model_type == "imspec":
+        net, _ = init_imspec_model(tuple(meta["in_dim"]),
+                                   tuple(meta["out_dim"]),
+                                   meta.get("latent_dim", 2))
+        return net, arrays.get("params")
+    raise ValueError(f"Unsupported ensemble model type: {model_type}")

@@ -1,0 +1,9 @@
+"""TPU-native ops: XLA/Pallas programs replacing the reference's native
+binary dependencies (SURVEY.md §2.9 checklist)."""
+
+from .cc_label import (label_components, blob_centers, blob_centers_stack,
+                       find_com_device)
+from .peakfit import refine_peaks, gaussian_2d_jax
+
+__all__ = ["label_components", "blob_centers", "blob_centers_stack",
+           "find_com_device", "refine_peaks", "gaussian_2d_jax"]

@@ -1,0 +1,127 @@
+"""Connected-component labeling + per-blob center of mass on device.
+
+Replaces the reference's host loop over ``scipy.ndimage.label`` +
+``center_of_mass`` (`atomai/utils/coords.py:21-34`, called per image/class
+from `atomai/predictors/predictor.py:582-608`) with an XLA program:
+
+1. every foreground pixel starts labeled with its flat index,
+2. iterate {4-neighborhood min-propagation; pointer jumping
+   (label <- label[label], a log-diameter accelerator)} inside a
+   ``lax.while_loop`` until fixpoint,
+3. per-blob pixel counts / first moments via ``segment_sum`` over root
+   labels,
+4. blob extraction with a *static* ``max_blobs`` bound via
+   ``jnp.nonzero(..., size=max_blobs)`` — XLA static shapes; a validity
+   mask marks real blobs.
+
+Connectivity is 4-neighbor, matching ``scipy.ndimage.label``'s default
+structure. Blob ordering matches scipy's raster-scan order because root
+labels are minimal flat indices.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _neighbor_min(lab: jnp.ndarray, big: jnp.int32) -> jnp.ndarray:
+    """Min over the 4-neighborhood (plus self) with BIG padding."""
+    up = jnp.concatenate([lab[1:], jnp.full_like(lab[:1], big)], axis=0)
+    down = jnp.concatenate([jnp.full_like(lab[:1], big), lab[:-1]], axis=0)
+    left = jnp.concatenate([lab[:, 1:], jnp.full_like(lab[:, :1], big)],
+                           axis=1)
+    right = jnp.concatenate([jnp.full_like(lab[:, :1], big), lab[:, :-1]],
+                            axis=1)
+    return jnp.minimum(jnp.minimum(jnp.minimum(up, down),
+                                   jnp.minimum(left, right)), lab)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def label_components(mask: jnp.ndarray, max_iters: int = 4096
+                     ) -> jnp.ndarray:
+    """Labels connected components of a binary mask.
+
+    Args:
+        mask: (H, W) bool/float foreground mask.
+        max_iters: safety bound on propagation rounds.
+
+    Returns:
+        (H, W) int32 array: for foreground pixels, the root label (minimal
+        flat index of the component); BIG (=H*W) for background.
+    """
+    H, W = mask.shape
+    big = jnp.int32(H * W)
+    fg = mask > 0
+    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    lab = jnp.where(fg, idx, big)
+
+    def cond(state):
+        lab, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        new = _neighbor_min(lab, big)
+        new = jnp.where(fg, new, big)
+        # pointer jumping x2: label <- label[label]
+        flat = new.reshape(-1)
+        flat_ext = jnp.concatenate([flat, jnp.array([big], jnp.int32)])
+        safe = jnp.minimum(flat, H * W)
+        flat = jnp.minimum(flat, flat_ext[safe])
+        safe = jnp.minimum(flat, H * W)
+        flat = jnp.minimum(flat, flat_ext[safe])
+        new = jnp.where(fg, flat.reshape(H, W), big)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+    return lab
+
+
+@partial(jax.jit, static_argnames=("max_blobs",))
+def blob_centers(mask: jnp.ndarray, max_blobs: int = 2048
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Centers of mass of connected components (binary weights, matching
+    ``ndimage.center_of_mass`` on a thresholded map).
+
+    Returns:
+        coords: (max_blobs, 2) float32 (row, col) centers (0 for padding).
+        sizes: (max_blobs,) int32 pixel counts (0 for padding).
+        valid: (max_blobs,) bool validity mask.
+    """
+    H, W = mask.shape
+    lab = label_components(mask)
+    flat_lab = lab.reshape(-1)
+    n_seg = H * W + 1
+    flat_lab = jnp.minimum(flat_lab, H * W)
+    ones = (flat_lab < H * W).astype(jnp.float32)
+    rows = (jnp.arange(H * W, dtype=jnp.float32) // W) * ones
+    cols = (jnp.arange(H * W, dtype=jnp.float32) % W) * ones
+    counts = jax.ops.segment_sum(ones, flat_lab, num_segments=n_seg)
+    row_sum = jax.ops.segment_sum(rows, flat_lab, num_segments=n_seg)
+    col_sum = jax.ops.segment_sum(cols, flat_lab, num_segments=n_seg)
+    counts = counts[:-1]
+    root_idx = jnp.nonzero(counts > 0, size=max_blobs, fill_value=H * W)[0]
+    valid = root_idx < H * W
+    safe_idx = jnp.minimum(root_idx, H * W - 1)
+    c = counts[safe_idx]
+    cy = row_sum[:-1][safe_idx] / jnp.maximum(c, 1.0)
+    cx = col_sum[:-1][safe_idx] / jnp.maximum(c, 1.0)
+    coords = jnp.stack([cy, cx], axis=-1)
+    coords = jnp.where(valid[:, None], coords, 0.0)
+    sizes = jnp.where(valid, c.astype(jnp.int32), 0)
+    return coords, sizes, valid
+
+
+def find_com_device(image_data: jnp.ndarray, max_blobs: int = 2048):
+    """Device analog of `atomai/utils/coords.py:21-34` ``find_com``."""
+    return blob_centers(image_data, max_blobs)
+
+
+def blob_centers_stack(masks: jnp.ndarray, max_blobs: int = 2048):
+    """Batched blob centers: (N, H, W) -> ((N, max_blobs, 2), (N, max_blobs),
+    (N, max_blobs))."""
+    return jax.vmap(lambda m: blob_centers(m, max_blobs))(masks)

@@ -1,0 +1,366 @@
+"""Inference + post-processing to atomic coordinates.
+
+Parity map into `atomai/predictors/predictor.py`:
+- BasePredictor (:23-121): eval-mode jitted forward, chunked
+  ``batch_predict`` streaming results to host to bound device memory.
+- SegPredictor (:124-298): preprocess (channel fixups, optional resize, pad
+  to divisible-by-2^n), forward + softmax/sigmoid fused under jit,
+  channel-last output, auto batch-count heuristic for >=256 px images,
+  ``run()`` = predict + Locator + timing print. nb_classes/downsample
+  factor come from static model config (replacing hook-based mock forwards,
+  `atomai/utils/nn.py:211-228`).
+- ImSpecPredictor / RegPredictor / clsPredictor (:301-528).
+- Locator (:531-639): background channel for 1-class output, per-class
+  threshold -> device CC labeling -> CoM (`atomai_tpu/ops/cc_label.py`),
+  edge-coordinate removal, optional batched 2D-Gaussian refinement
+  (`atomai_tpu/ops/peakfit.py`). Output: {frame: N x 3 [x, y, class]}.
+"""
+
+import time
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nets.fcnn import DOWNSAMPLE_FACTORS
+from ..ops.cc_label import blob_centers_stack
+from ..utils.coords import peak_refinement
+from ..utils.img import img_pad, img_resize
+from ..utils.preproc import format_image, format_spectra
+
+
+class BasePredictor:
+    """Base predictor: jitted forward + chunked batch prediction
+    (reference `predictor.py:23-121`)."""
+
+    def __init__(self, model=None, params=None, batch_stats=None,
+                 **kwargs):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.verbose = kwargs.get("verbose", False)
+        self._jit_forward = None
+
+    def preprocess(self, data):
+        return jnp.asarray(np.asarray(data, np.float32))
+
+    def _variables(self):
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def _make_forward(self):
+        model = self.model
+
+        @jax.jit
+        def fwd(variables, x):
+            return model.apply(variables, x, False)
+        return fwd
+
+    def forward_(self, xnew) -> jnp.ndarray:
+        """Single forward pass (eval mode)."""
+        if self._jit_forward is None:
+            self._jit_forward = self._make_forward()
+        return self._jit_forward(self._variables(), xnew)
+
+    def batch_predict(self, data, out_shape: Tuple[int, ...],
+                      num_batches: int) -> np.ndarray:
+        """Chunked prediction, streaming each chunk to the host
+        (reference `predictor.py:82-106`)."""
+        batch_size = len(data) // num_batches
+        if batch_size < 1:
+            num_batches = batch_size = 1
+        prediction_all = np.zeros(out_shape, dtype=np.float32)
+        for i in range(num_batches):
+            if self.verbose:
+                print("\rBatch {}/{}".format(i + 1, num_batches), end="")
+            data_i = data[i * batch_size:(i + 1) * batch_size]
+            prediction_all[i * batch_size:(i + 1) * batch_size] = \
+                np.asarray(self.forward_(data_i))
+        data_i = data[num_batches * batch_size:]
+        if len(data_i) > 0:
+            prediction_all[num_batches * batch_size:] = \
+                np.asarray(self.forward_(data_i))
+        return prediction_all
+
+    def predict(self, data, out_shape=None, num_batches: int = 1
+                ) -> np.ndarray:
+        if out_shape is None:
+            out_shape = data.shape
+        else:
+            out_shape = (data.shape[0], *out_shape)
+        data = self.preprocess(data)
+        return self.batch_predict(data, out_shape, num_batches)
+
+
+class SegPredictor(BasePredictor):
+    """Segmentation predictor (reference `predictor.py:124-298`)."""
+
+    def __init__(self, model, params, batch_stats=None,
+                 refine: bool = False, resize=None, logits: bool = True,
+                 **kwargs):
+        super().__init__(model, params, batch_stats, **kwargs)
+        self.nb_classes = kwargs.get("nb_classes")
+        if self.nb_classes is None:
+            self.nb_classes = getattr(model, "nb_classes", 1)
+        self.downsampling = kwargs.get("downsampling")
+        if self.downsampling is None:
+            self.downsampling = DOWNSAMPLE_FACTORS.get(
+                type(model).__name__, 8)
+        self.resize = resize
+        self.logits = logits
+        self.refine = refine
+        self.d = kwargs.get("d")
+        self.thresh = kwargs.get("thresh", .5)
+        self.verbose = kwargs.get("verbose", True)
+
+    def preprocess(self, image_data: np.ndarray, norm: bool = True):
+        """(N?, H, W) -> padded, normalized NHWC
+        (reference `predictor.py:190-207`)."""
+        image_data = np.asarray(image_data)
+        if image_data.ndim == 2:
+            image_data = image_data[None, ...]
+        elif image_data.ndim == 4:
+            if image_data.shape[-1] == 1:
+                image_data = image_data[..., 0]
+            elif image_data.shape[1] == 1:
+                image_data = image_data[:, 0, ...]
+        if self.resize is not None:
+            image_data = img_resize(image_data, self.resize)
+        image_data = img_pad(image_data, self.downsampling)
+        return jnp.asarray(format_image(image_data, norm))
+
+    def _make_forward(self):
+        model = self.model
+        logits = self.logits
+        nb = self.nb_classes
+
+        @jax.jit
+        def fwd(variables, x):
+            prob = model.apply(variables, x, False)
+            if logits:
+                prob = jax.nn.softmax(prob, axis=-1) if nb > 1 \
+                    else jax.nn.sigmoid(prob)
+            else:
+                prob = jnp.exp(prob) if nb > 1 else prob
+            return prob
+        return fwd
+
+    def predict(self, image_data, return_image: bool = False, **kwargs):
+        """Probability maps, NHWC (reference `predictor.py:233-262`)."""
+        image_data = self.preprocess(image_data, kwargs.get("norm", True))
+        n, w, h = image_data.shape[:3]
+        num_batches = kwargs.get("num_batches")
+        if num_batches is None:
+            num_batches = n if (w >= 256 or h >= 256) else 10
+        segmented_imgs = self.batch_predict(
+            image_data, (n, w, h, self.nb_classes), num_batches)
+        if return_image:
+            return np.asarray(image_data), segmented_imgs
+        return segmented_imgs
+
+    def run(self, image_data, compute_coords: bool = True, **kwargs):
+        """Predict + locate coordinates (reference
+        `predictor.py:264-298`)."""
+        start_time = time.time()
+        if not compute_coords:
+            return self.predict(image_data, **kwargs)
+        images, decoded_imgs = self.predict(
+            image_data, return_image=True, **kwargs)
+        thresh = kwargs.get("thresh", self.thresh)
+        loc = Locator(thresh, refine=self.refine, d=self.d)
+        coordinates = loc.run(decoded_imgs, images)
+        if self.verbose:
+            n_images_str = " image was " if decoded_imgs.shape[0] == 1 \
+                else " images were "
+            print("\n" + str(decoded_imgs.shape[0]) + n_images_str +
+                  "decoded in approximately " +
+                  str(np.around(time.time() - start_time, decimals=4)) +
+                  " seconds")
+        return decoded_imgs, coordinates
+
+
+class ImSpecPredictor(BasePredictor):
+    """im2spec/spec2im predictor (reference `predictor.py:300-394`)."""
+
+    def __init__(self, model, params, output_dim, batch_stats=None,
+                 **kwargs):
+        super().__init__(model, params, batch_stats, **kwargs)
+        if isinstance(output_dim, int):
+            output_dim = (output_dim,)
+        if len(output_dim) not in (1, 2):
+            raise ValueError("output_dim must be a two-value tuple for "
+                             "images and a single-value tuple for spectra")
+        self.output_dim = tuple(output_dim)
+        self.verbose = kwargs.get("verbose", True)
+
+    def preprocess(self, signal: np.ndarray, norm: bool = True):
+        signal = np.asarray(signal)
+        if len(self.output_dim) == 1:  # image -> spectrum
+            if signal.ndim == 2:
+                signal = signal[None, ...]
+            signal = format_image(signal, norm)[..., 0]
+        else:  # spectrum -> image
+            if signal.ndim == 1:
+                signal = signal[None, ...]
+            signal = format_spectra(signal, norm)
+        return jnp.asarray(signal)
+
+    def predict(self, signal, **kwargs) -> np.ndarray:
+        signal = self.preprocess(signal, kwargs.get("norm", True))
+        num_batches = kwargs.get("num_batches", 10)
+        return self.batch_predict(
+            signal, (len(signal), *self.output_dim), num_batches)
+
+    def run(self, signal, **kwargs) -> np.ndarray:
+        start_time = time.time()
+        prediction = self.predict(signal, **kwargs)
+        if self.verbose:
+            if len(self.output_dim) == 1:
+                str_ = " image was " if prediction.shape[0] == 1 \
+                    else " images were "
+            else:
+                str_ = " spectrum was " if prediction.shape[0] == 1 \
+                    else " spectra were "
+            print("\n" + str(prediction.shape[0]) + str_ +
+                  "decoded in approximately " +
+                  str(np.around(time.time() - start_time, decimals=4)) +
+                  " seconds")
+        return prediction
+
+
+class RegPredictor(BasePredictor):
+    """Regression predictor (reference `predictor.py:397-478`)."""
+
+    def __init__(self, model, params, output_dim: int, batch_stats=None,
+                 **kwargs):
+        super().__init__(model, params, batch_stats, **kwargs)
+        self.output_dim = output_dim
+        self.verbose = kwargs.get("verbose", True)
+
+    def preprocess(self, image_data: np.ndarray, norm: bool = True):
+        image_data = np.asarray(image_data)
+        if image_data.ndim == 2:
+            image_data = image_data[None, ...]
+        return jnp.asarray(format_image(image_data, norm))
+
+    def predict(self, image_data, **kwargs) -> np.ndarray:
+        num_batches = kwargs.get("num_batches", 10)
+        image_data = self.preprocess(image_data, kwargs.get("norm", True))
+        output = self.batch_predict(
+            image_data, (len(image_data), self.output_dim), num_batches)
+        return output.squeeze()
+
+    def run(self, image_data, **kwargs) -> np.ndarray:
+        start_time = time.time()
+        prediction = self.predict(image_data, **kwargs)
+        if self.verbose:
+            n_images = 1 if prediction.ndim == 0 else prediction.shape[0]
+            n_images_str = " image was " if n_images == 1 \
+                else " images were "
+            print("\n" + str(n_images) + n_images_str +
+                  "decoded in approximately " +
+                  str(np.around(time.time() - start_time, decimals=4)) +
+                  " seconds")
+        return prediction
+
+
+class clsPredictor(RegPredictor):
+    """Classification predictor (reference `predictor.py:481-528`)."""
+
+    def __init__(self, model, params, nb_classes: int, batch_stats=None,
+                 **kwargs):
+        super().__init__(model, params, nb_classes, batch_stats, **kwargs)
+
+    def predict(self, image_data, **kwargs) -> np.ndarray:
+        num_batches = kwargs.get("num_batches", 10)
+        image_data = self.preprocess(image_data, kwargs.get("norm", True))
+        output = self.batch_predict(
+            image_data, (len(image_data), self.output_dim), num_batches)
+        return np.argmax(output, 1).squeeze()
+
+
+class Locator:
+    """NN output -> atomic coordinates (reference `predictor.py:531-639`).
+
+    The per-image, per-class host loop over cv2 threshold +
+    scipy.ndimage.label becomes one batched device program: all
+    (frame, class) masks are labeled and reduced to centers of mass in a
+    single vmapped CC/segment-sum call.
+    """
+
+    def __init__(self, threshold: float = 0.5, dist_edge: int = 5,
+                 dim_order: str = "channel_last", **kwargs):
+        self.dim_order = dim_order
+        self.threshold = threshold
+        self.dist_edge = dist_edge
+        self.refine = kwargs.get("refine")
+        self.d = kwargs.get("d")
+
+    def preprocess(self, nn_output: np.ndarray) -> np.ndarray:
+        """Adds background channel for 1-class output
+        (reference `predictor.py:564-580`)."""
+        if nn_output.shape[-1] == 1:
+            nn_output_b = 1 - nn_output
+            nn_output = np.concatenate((nn_output, nn_output_b), axis=3)
+        if self.dim_order == "channel_first":
+            nn_output = np.transpose(nn_output, (0, 2, 3, 1))
+        elif self.dim_order != "channel_last":
+            raise NotImplementedError(
+                'For dim_order, use "channel_first" or "channel_last"')
+        return nn_output
+
+    def run(self, nn_output: np.ndarray, *args: np.ndarray
+            ) -> Dict[int, np.ndarray]:
+        """Coordinates for every frame (reference
+        `predictor.py:582-619`)."""
+        nn_output = self.preprocess(nn_output)
+        n, h, w, c = nn_output.shape
+        n_cls = c - 1  # last channel is background
+        # (N * n_cls, H, W) binary masks, all frames/classes at once
+        masks = (nn_output[..., :n_cls] > self.threshold).astype(np.float32)
+        masks = np.transpose(masks, (0, 3, 1, 2)).reshape(n * n_cls, h, w)
+        max_count = int(masks.sum(axis=(1, 2)).max() // 2 + 8)
+        max_blobs = 1 << (max(8, min(max_count, h * w)) - 1).bit_length()
+        coords, _, valid = blob_centers_stack(jnp.asarray(masks), max_blobs)
+        coords = np.asarray(coords)
+        valid = np.asarray(valid)
+        d_coord = {}
+        for i in range(n):
+            coordinates = np.empty((0, 2))
+            category = np.empty((0, 1))
+            for ch in range(n_cls):
+                k = i * n_cls + ch
+                coord = coords[k][valid[k]]
+                coord_ch = self.rem_edge_coord(coord, h, w)
+                category_ch = np.zeros((coord_ch.shape[0], 1)) + ch
+                coordinates = np.append(coordinates, coord_ch, axis=0)
+                category = np.append(category, category_ch, axis=0)
+            d_coord[i] = np.concatenate((coordinates, category), axis=1)
+        if self.refine:
+            if len(args) == 0:
+                raise AssertionError(
+                    "Pass input image(s) for coordinates refinement")
+            imgdata = args[0]
+            print("\n\rRefining atomic positions... ", end="")
+            d_coord_r = {}
+            for i, (img, coord) in enumerate(zip(imgdata,
+                                                 d_coord.values())):
+                img2d = img[..., 0] if img.ndim == 3 else img
+                d_coord_r[i] = peak_refinement(img2d, coord, self.d)
+            print("Done")
+            return d_coord_r
+        return d_coord
+
+    def rem_edge_coord(self, coordinates: np.ndarray, h: int, w: int
+                       ) -> np.ndarray:
+        """Removes coordinates near the edges
+        (reference `predictor.py:622-639`)."""
+        c = coordinates
+        if len(c) == 0:
+            return c
+        bad = ((c[:, 0] > h - self.dist_edge) | (c[:, 0] < self.dist_edge) |
+               (c[:, 1] > w - self.dist_edge) | (c[:, 1] < self.dist_edge))
+        return c[~bad]

@@ -1,0 +1,49 @@
+"""Utility layer (reference surface: `atomai/utils/__init__.py:1-8`)."""
+
+from .preproc import (num_classes_from_labels, check_image_dims,
+                      check_signal_dims, format_image, format_spectra,
+                      data_split, to_onehot, create_batches, stack_batches,
+                      prepare_gp_input, as_channel_last_images,
+                      squeeze_mask_channels)
+from .coords import (find_com, grid2xy, imcoordgrid, transform_coordinates,
+                     get_nn_distances, get_nn_distances_, gaussian_2d,
+                     peak_refinement, get_intensities, compare_coordinates,
+                     cluster_coord, find_coord_clusters, subimg_trajectories,
+                     map_bonds, remove_edge_coord,
+                     get_lengthscale_constraints)
+from .img import (img_resize, cv_resize, cv_resize_stack, cv_rotate,
+                  img_pad, get_imgstack, extract_subimages,
+                  extract_random_subimages, extract_patches,
+                  extract_patches_2d, extract_patches_and_spectra, FFTmask,
+                  FFTsub, threshImg, crop_borders, get_coord_grid,
+                  cv_thresh, filter_cells, get_blob_params, load_image)
+from .nn import (average_weights, sample_weights, set_train_rng,
+                 weights_init, reset_bnorm, num_params, combine_classes,
+                 renumerate_classes)
+from .imgen import (MakeAtom, create_lattice_mask,
+                    create_multiclass_lattice_mask, create_atom_mask_pair,
+                    make_lattice_stack)
+from . import viz
+from .viz import plot_losses, plot_coord, draw_boxes
+
+__all__ = [
+    "num_classes_from_labels", "check_image_dims", "check_signal_dims",
+    "format_image", "format_spectra", "data_split", "to_onehot",
+    "create_batches", "stack_batches", "prepare_gp_input",
+    "as_channel_last_images", "squeeze_mask_channels", "find_com",
+    "grid2xy", "imcoordgrid", "transform_coordinates", "get_nn_distances",
+    "get_nn_distances_", "gaussian_2d", "peak_refinement",
+    "get_intensities", "compare_coordinates", "cluster_coord",
+    "find_coord_clusters", "subimg_trajectories", "map_bonds",
+    "remove_edge_coord", "get_lengthscale_constraints", "img_resize",
+    "cv_resize", "cv_resize_stack", "cv_rotate", "img_pad", "get_imgstack",
+    "extract_subimages", "extract_random_subimages", "extract_patches",
+    "extract_patches_2d", "extract_patches_and_spectra", "FFTmask",
+    "FFTsub", "threshImg", "crop_borders", "get_coord_grid", "cv_thresh",
+    "filter_cells", "get_blob_params", "load_image", "average_weights",
+    "sample_weights", "set_train_rng", "weights_init", "reset_bnorm",
+    "num_params", "combine_classes", "renumerate_classes", "MakeAtom",
+    "create_lattice_mask", "create_multiclass_lattice_mask",
+    "create_atom_mask_pair", "make_lattice_stack", "viz", "plot_losses",
+    "plot_coord", "draw_boxes",
+]

@@ -1,0 +1,313 @@
+"""Atom/defect/particle coordinate utilities.
+
+Parity map into `atomai/utils/coords.py`:
+- find_com (:21-34): device CC-labeling + segment CoM
+  (see `atomai_tpu/ops/cc_label.py`); host numpy output.
+- grid2xy / imcoordgrid (:37-54), transform_coordinates (:57-83): jnp (the
+  rotation grid transform is the rVAE hot path — pure batched matmul).
+- gaussian_2d / peak_refinement (:152-231): vmapped LM
+  (see `atomai_tpu/ops/peakfit.py`).
+- get_nn_distances (:86-149), compare_coordinates (:266-301), cluster_coord
+  DBSCAN (:304-347), find_coord_clusters (:350-400), subimg_trajectories
+  (:403-472), map_bonds (:475-515), remove_edge_coord (:518-537),
+  get_lengthscale_constraints (:540-543), get_intensities (:234-263): host
+  analytics (ragged outputs), scipy cKDTree / sklearn DBSCAN as in the
+  reference.
+"""
+
+import warnings
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import spatial
+
+from ..ops.cc_label import blob_centers
+from ..ops.peakfit import refine_peaks
+
+
+def find_com(image_data: np.ndarray, max_blobs: Optional[int] = None
+             ) -> np.ndarray:
+    """Find atoms via center-of-mass of connected components (:21-34).
+
+    Runs CC labeling + CoM on device; returns (N, 2) numpy array in
+    raster-scan blob order (matching scipy.ndimage.label ordering).
+    """
+    image_data = np.asarray(image_data)
+    if max_blobs is None:
+        max_blobs = int(np.count_nonzero(image_data) // 2 + 8)
+        max_blobs = max(8, min(max_blobs, image_data.size))
+        # round up to limit recompiles
+        max_blobs = 1 << (max_blobs - 1).bit_length()
+    coords, _, valid = blob_centers(jnp.asarray(image_data), max_blobs)
+    coords = np.asarray(coords)
+    valid = np.asarray(valid)
+    return coords[valid]
+
+
+def grid2xy(X1, X2) -> jnp.ndarray:
+    """(M, N) grid -> (M*N, 2) xy coordinates (:37-44)."""
+    X = jnp.concatenate([X1[None], X2[None]], axis=0)
+    d0, d1 = X.shape[0], X.shape[1] * X.shape[2]
+    return X.reshape(d0, d1).T
+
+
+def imcoordgrid(im_dim: Tuple[int, int]) -> jnp.ndarray:
+    """Pixel coordinate grid in [-1, 1] (used by rVAE) (:47-54)."""
+    xx = jnp.linspace(-1, 1, im_dim[0])
+    yy = jnp.linspace(1, -1, im_dim[1])
+    x0, x1 = jnp.meshgrid(xx, yy, indexing="ij")
+    return grid2xy(x0, x1)
+
+
+def transform_coordinates(coord, phi, coord_dx=0):
+    """Batched 2D rotation + translation (:57-83).
+
+    Args:
+        coord: (B, N, 2) coordinate batch.
+        phi: (B,) rotation angles (rad).
+        coord_dx: (B, 1or N, 2) translation or 0.
+    Returns (B, N, 2).
+    """
+    coord = jnp.asarray(coord, jnp.float32)
+    phi = jnp.asarray(phi, jnp.float32)
+    rotmat_r1 = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=1)
+    rotmat_r2 = jnp.stack([-jnp.sin(phi), jnp.cos(phi)], axis=1)
+    rotmat = jnp.stack([rotmat_r1, rotmat_r2], axis=1)  # (B, 2, 2)
+    coord = jnp.einsum("bnk,bkm->bnm", coord, rotmat)
+    return coord + coord_dx
+
+
+def get_nn_distances_(coordinates: np.ndarray, nn: int = 2,
+                      upper_bound: Optional[float] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Nearest-neighbor distances for one frame (:86-112)."""
+    upper_bound = np.inf if upper_bound is None else upper_bound
+    tree = spatial.cKDTree(coordinates[:, :2])
+    d, nn_idx = tree.query(coordinates[:, :2], k=nn + 1,
+                           distance_upper_bound=upper_bound)
+    idx_to_del = np.where(d == np.inf)[0]
+    nn_idx = np.delete(nn_idx, idx_to_del, axis=0)
+    d = np.delete(d, idx_to_del, axis=0)
+    return d[:, 1:], coordinates[nn_idx]
+
+
+def get_nn_distances(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
+                     nn: int = 2, upper_bound: Optional[float] = None
+                     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """NN distances for a stack (:115-149)."""
+    if isinstance(coordinates, np.ndarray):
+        coordinates = {0: coordinates}
+    distances_all, atom_pairs_all = [], []
+    for coord in coordinates.values():
+        distances, atom_pairs = get_nn_distances_(coord, nn, upper_bound)
+        distances_all.append(distances)
+        atom_pairs_all.append(atom_pairs)
+    return distances_all, atom_pairs_all
+
+
+def gaussian_2d(xy, amp, xo, yo, sigma_x, sigma_y, theta, offset
+                ) -> np.ndarray:
+    """2D Gaussian model, flattened output (:152-176)."""
+    x, y = xy
+    a = (np.cos(theta) ** 2) / (2 * sigma_x ** 2) + \
+        (np.sin(theta) ** 2) / (2 * sigma_y ** 2)
+    b = -(np.sin(2 * theta)) / (4 * sigma_x ** 2) + \
+        (np.sin(2 * theta)) / (4 * sigma_y ** 2)
+    c = (np.sin(theta) ** 2) / (2 * sigma_x ** 2) + \
+        (np.cos(theta) ** 2) / (2 * sigma_y ** 2)
+    g = offset + amp * np.exp(
+        -(a * ((x - xo) ** 2) + 2 * b * (x - xo) * (y - yo) +
+          c * ((y - yo) ** 2)))
+    return g.flatten()
+
+
+def peak_refinement(imgdata: np.ndarray, coordinates: np.ndarray,
+                    d: Optional[int] = None) -> np.ndarray:
+    """Refine atomic positions by batched 2D-Gaussian fits (:179-231).
+
+    All atoms are fitted simultaneously on device (vmapped LM) instead of
+    the reference's sequential scipy.curve_fit loop.
+    """
+    if d is None:
+        warnings.warn(
+            "The d-value for bounding box not found. Defaulting to 1/4 of "
+            "mean atomic distance.", stacklevel=2)
+        dist = get_nn_distances_(coordinates)[0]
+        d = int(np.mean(np.concatenate(dist)) * 0.25)
+    refined = refine_peaks(jnp.asarray(imgdata, jnp.float32),
+                           jnp.asarray(coordinates[:, :2], jnp.float32),
+                           int(d))
+    refined = np.asarray(refined)
+    return np.concatenate([refined, coordinates[:, 2:3]], axis=-1)
+
+
+def get_intensities_(coordinates: np.ndarray, img: np.ndarray, r: int = 3
+                     ) -> np.ndarray:
+    """Mean intensity in an r x r square around each position (:234-250)."""
+    intensities_all = []
+    for c in coordinates:
+        cx = int(np.around(c[0]))
+        cy = int(np.around(c[1]))
+        if r % 2 != 0:
+            img_cr = np.copy(img[cx - r // 2:cx + r // 2 + 1,
+                                 cy - r // 2:cy + r // 2 + 1])
+        else:
+            img_cr = np.copy(img[cx - r // 2:cx + r // 2,
+                                 cy - r // 2:cy + r // 2])
+        intensities_all.append(np.mean(img_cr))
+    return np.array(intensities_all)
+
+
+def get_intensities(coordinates_all: Dict[int, np.ndarray],
+                    nn_input: np.ndarray, r: int = 3) -> List[np.ndarray]:
+    """Intensities for a stack (:253-263)."""
+    return [get_intensities_(coord, nn_input[k], r)
+            for k, coord in coordinates_all.items()]
+
+
+def compare_coordinates(coordinates1: np.ndarray, coordinates2: np.ndarray,
+                        d_max: float, plot_results: bool = False,
+                        **kwargs) -> Tuple[np.ndarray, ...]:
+    """Match predicted vs ground-truth coordinates (:266-301)."""
+    coordinates1_ = np.empty((0, 3))
+    coordinates2_ = np.empty((0, 3))
+    delta_r = []
+    tree = spatial.cKDTree(coordinates2)
+    for c in coordinates1:
+        dist, idx = tree.query(c)
+        if dist < d_max:
+            coordinates1_ = np.append(coordinates1_, [c], axis=0)
+            coordinates2_ = np.append(coordinates2_, [coordinates2[idx]],
+                                      axis=0)
+            delta_r.append(dist)
+    if plot_results:
+        from . import viz  # lazy
+        viz.plot_coordinates_comparison(
+            coordinates1_, delta_r, kwargs.get("expdata"),
+            kwargs.get("fsize", 20))
+    return coordinates1_, coordinates2_, np.array(delta_r)
+
+
+def cluster_coord(coord_class_dict: Dict[int, np.ndarray], eps: float,
+                  min_samples: int = 10) -> Tuple[np.ndarray, ...]:
+    """Collapse stack coordinates onto xy plane + DBSCAN (:304-347)."""
+    from sklearn import cluster as _cluster
+    coordinates_all = np.empty((0, 3))
+    for k in range(len(coord_class_dict)):
+        coordinates_all = np.append(coordinates_all, coord_class_dict[k],
+                                    axis=0)
+    clustering = _cluster.DBSCAN(
+        eps=eps, min_samples=min_samples).fit(coordinates_all[:, :2])
+    labels = clustering.labels_
+    clusters, clusters_var, clusters_mean = [], [], []
+    for lbl in np.unique(labels)[1:]:
+        coord = coordinates_all[np.where(labels == lbl)]
+        clusters.append(coord)
+        clusters_mean.append(np.mean(coord[:, :2], axis=0))
+        clusters_var.append(np.var(coord[:, :2], axis=0))
+    return (np.array(clusters, dtype=object), np.array(clusters_mean),
+            np.array(clusters_var))
+
+
+def find_coord_clusters(coord_class_dict_1: Dict[int, np.ndarray],
+                        coord_class_dict_2: Dict[int, np.ndarray],
+                        rmax: int) -> Tuple[np.ndarray, np.ndarray, List]:
+    """Per-coordinate neighbor clusters across frames (:350-400)."""
+    coordinates_all = np.empty((0, 3))
+    for k in range(len(coord_class_dict_2)):
+        coordinates_all = np.append(coordinates_all, coord_class_dict_2[k],
+                                    axis=0)
+    clusters, clusters_mean, clusters_std = [], [], []
+    tree = spatial.cKDTree(coordinates_all[:, :2])
+    for c0 in coord_class_dict_1[0][:, :2]:
+        _, idx = tree.query(c0, k=len(coordinates_all),
+                            distance_upper_bound=rmax)
+        idx = np.delete(idx, np.where(idx == len(coordinates_all))[0])
+        cl = coordinates_all[idx]
+        clusters_mean.append(np.mean(cl[:, :2], axis=0))
+        clusters_std.append(np.std(cl[:, :2], axis=0))
+        clusters.append(cl)
+    return np.array(clusters_mean), np.array(clusters_std), clusters
+
+
+class subimg_trajectories:
+    """Trajectories of individual defects/atoms + subimages (:403-472)."""
+
+    def __init__(self, imgdata: np.ndarray,
+                 coord_class_dict: Dict[int, np.ndarray],
+                 window_size: int, min_length: int = 0,
+                 rmax: int = 10) -> None:
+        self.imgdata = imgdata
+        self.coord_class_dict = coord_class_dict
+        self.r = window_size
+        self.min_length = min_length
+        self.rmax = rmax
+
+    def get_trajectory(self, start_coord: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        def crop_(img_, c_):
+            cx = int(np.around(c_[0]))
+            cy = int(np.around(c_[1]))
+            return img_[cx - self.r // 2:cx + self.r // 2,
+                        cy - self.r // 2:cy + self.r // 2]
+
+        flow, frames, img_cr_all = [], [], []
+        c0 = start_coord
+        for k, c in self.coord_class_dict.items():
+            d, index = spatial.cKDTree(c[:, :2]).query(
+                c0, distance_upper_bound=self.rmax)
+            if d != np.inf:
+                img_cr = crop_(self.imgdata[k], c[index])
+                if img_cr.shape[0:2] == (self.r, self.r):
+                    flow.append(c[index])
+                    img_cr_all.append(img_cr)
+                    frames.append(k)
+                    c0 = c[index][:2]
+        return np.array(flow), np.array(frames), np.array(img_cr_all)
+
+    def get_all_trajectories(self
+                             ) -> Tuple[List[np.ndarray], List[np.ndarray],
+                                        List[np.ndarray]]:
+        trajectories_all, frames_all, subimgs_all = [], [], []
+        first = self.coord_class_dict[list(self.coord_class_dict.keys())[0]]
+        for ck in first[:, :2]:
+            flow, frames, subimgs = self.get_trajectory(ck)
+            if len(flow) > self.min_length:
+                trajectories_all.append(flow)
+                frames_all.append(frames)
+                subimgs_all.append(subimgs)
+        return trajectories_all, frames_all, subimgs_all
+
+
+def map_bonds(coordinates: Dict[int, np.ndarray], nn: int = 2,
+              upper_bound: Optional[float] = None,
+              distance_ideal: Optional[float] = None,
+              plot_results: bool = True, **kwargs) -> np.ndarray:
+    """Lattice-bond maps color-coded by bond-length deviation (:475-515)."""
+    distances_all, atom_pairs_all = get_nn_distances(
+        coordinates, nn, upper_bound)
+    if distance_ideal is None:
+        distance_ideal = np.mean(np.concatenate(distances_all))
+    from . import viz  # lazy import (matplotlib)
+    for i, (dist, at) in enumerate(zip(distances_all, atom_pairs_all)):
+        viz.plot_lattice_bonds(dist, at, distance_ideal, i, plot_results,
+                               **kwargs)
+    return np.concatenate(distances_all)
+
+
+def remove_edge_coord(coordinates: np.ndarray, dim: Tuple[int, int],
+                      dist_edge: int) -> np.ndarray:
+    """Removes coordinates near image edges (:518-537)."""
+    h, w = dim
+    c = coordinates
+    bad = ((c[:, 0] > w - dist_edge) | (c[:, 0] < dist_edge) |
+           (c[:, 1] > h - dist_edge) | (c[:, 1] < dist_edge))
+    return coordinates[~bad]
+
+
+def get_lengthscale_constraints(grid: np.ndarray) -> List[List[float]]:
+    """GP lengthscale interval constraints from a grid (:540-543)."""
+    cmax = np.amax(grid, axis=0) // 2 + 1
+    cmin = np.ones(grid.shape[-1])
+    return [cmin.tolist(), cmax.tolist()]

@@ -1,0 +1,434 @@
+"""Image utilities (numpy host-side + JAX device paths, cv2-free).
+
+Parity map into `atomai/utils/img.py`:
+- img_resize/cv_resize/cv_resize_stack (:20-93) -> jax.image.resize based.
+- cv_rotate (:94-109) -> k*90-degree rotation + arbitrary-angle warp.
+- img_pad to pooling multiple (:112-135).
+- get_imgstack/extract_subimages/extract_random_subimages (:138-350).
+- extract_patches(_2d) (:353-389), extract_patches_and_spectra (:392-452).
+- FFTmask/FFTsub/threshImg (:455-499), crop_borders (:502-519),
+  get_coord_grid (:522-551), cv_thresh (:554-564).
+- filter_cells(_)/get_blob_params (:567-670): blob filtering via the device
+  CC-labeling op; ellipse parameters from blob second moments (replaces
+  cv2.fitEllipse on contours).
+- load_image (:674-704).
+"""
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cc_label import label_components
+from .coords import remove_edge_coord
+
+
+def img_resize(image_data: np.ndarray, rs: Tuple[int, int],
+               round_: bool = False) -> np.ndarray:
+    """Resizes a stack of images (:20-45)."""
+    if image_data.shape[1:3] == tuple(rs):
+        return image_data.copy()
+    image_data_r = np.asarray(jax.image.resize(
+        jnp.asarray(image_data, jnp.float32),
+        (image_data.shape[0], rs[0], rs[1]) + image_data.shape[3:],
+        method="linear"))
+    if round_:
+        image_data_r = np.round(image_data_r)
+    return image_data_r
+
+
+def cv_resize(img: np.ndarray, rs: Tuple[int, int],
+              round_: bool = False) -> np.ndarray:
+    """Resizes a single image (:48-68)."""
+    if img.shape[:2] == tuple(rs):
+        return img.copy()
+    out = np.asarray(jax.image.resize(
+        jnp.asarray(img, jnp.float32), tuple(rs) + img.shape[2:],
+        method="linear"))
+    if round_:
+        out = np.round(out)
+    return out
+
+
+def cv_resize_stack(imgdata: np.ndarray, rs: Union[int, Tuple[int, int]],
+                    round_: bool = False) -> np.ndarray:
+    """Resizes a stack (:71-91)."""
+    if isinstance(rs, int):
+        rs = (rs, rs)
+    return img_resize(imgdata, rs, round_)
+
+
+def cv_rotate(img: np.ndarray, a: float) -> np.ndarray:
+    """Rotates an image by angle ``a`` (degrees) about its center
+    (:94-109)."""
+    if a % 90 == 0:
+        return np.rot90(img, int(a // 90) % 4).copy()
+    from ..transforms.warp import rotate_image
+    return np.asarray(rotate_image(jnp.asarray(img, jnp.float32),
+                                   np.deg2rad(a)))
+
+
+def img_pad(image_data: np.ndarray, pooling: int) -> np.ndarray:
+    """Zero-pads (n, h, w) stack so h, w are divisible by ``pooling``
+    (:112-135)."""
+    _, h, w = image_data.shape[:3]
+    ph = (-h) % pooling
+    pw = (-w) % pooling
+    if ph == 0 and pw == 0:
+        return image_data
+    pad_width = [(0, 0), (0, ph), (0, pw)] + \
+        [(0, 0)] * (image_data.ndim - 3)
+    return np.pad(image_data, pad_width, mode="constant")
+
+
+def get_imgstack(imgdata: np.ndarray, coord: np.ndarray, r: int
+                 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    """Subimages centered at coordinates, one frame (:138-180)."""
+    img_cr_all, com = [], []
+    for c in coord:
+        cx = int(np.around(c[0]))
+        cy = int(np.around(c[1]))
+        if r % 2 != 0:
+            img_cr = np.copy(imgdata[cx - r // 2:cx + r // 2 + 1,
+                                     cy - r // 2:cy + r // 2 + 1])
+        else:
+            img_cr = np.copy(imgdata[cx - r // 2:cx + r // 2,
+                                     cy - r // 2:cy + r // 2])
+        if img_cr.shape[0:2] == (int(r), int(r)) and \
+                not np.isnan(img_cr).any():
+            img_cr_all.append(img_cr[None, ...])
+            com.append(c[None, ...])
+    if len(img_cr_all) == 0:
+        return None, None
+    return np.concatenate(img_cr_all, axis=0), np.concatenate(com, axis=0)
+
+
+def imcrop_randpx(img: np.ndarray, window_size: int, num_images: int,
+                  random_state: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Random-pixel subimages (:183-211)."""
+    rng = np.random.RandomState(random_state)
+    list_xy = set()
+    com_x, com_y = [], []
+    while len(list_xy) < num_images:
+        x = rng.randint(window_size // 2 + 1,
+                        img.shape[0] - window_size // 2 - 1)
+        y = rng.randint(window_size // 2 + 1,
+                        img.shape[1] - window_size // 2 - 1)
+        if (x, y) not in list_xy:
+            com_x.append(x)
+            com_y.append(y)
+            list_xy.add((x, y))
+    com_xy = np.stack([np.array(com_x), np.array(com_y)], axis=1)
+    return get_imgstack(img, com_xy, window_size)
+
+
+def imcrop_randcoord(img: np.ndarray, coord: np.ndarray, window_size: int,
+                     num_images: int, random_state: int = 0
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Random-coordinate subimages (:214-236)."""
+    rng = np.random.RandomState(random_state)
+    idx = rng.choice(len(coord), size=num_images, replace=False)
+    return get_imgstack(img, coord[idx], window_size)
+
+
+def extract_random_subimages(imgdata: np.ndarray, window_size: int,
+                             num_images: int,
+                             coordinates: Optional[Dict] = None,
+                             **kwargs: int
+                             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random subimages per frame (:239-295)."""
+    coord_class = kwargs.get("coord_class", 0)
+    if np.ndim(imgdata) < 4:
+        imgdata = imgdata[..., None]
+    subimages_all = np.zeros((num_images * imgdata.shape[0], window_size,
+                              window_size, imgdata.shape[-1]))
+    com_all = np.zeros((num_images * imgdata.shape[0], 2))
+    frames_all = np.zeros((num_images * imgdata.shape[0]))
+    for i, img in enumerate(imgdata):
+        if coordinates is None:
+            stack_i, com_i = imcrop_randpx(img, window_size, num_images,
+                                           random_state=i)
+        else:
+            coord = coordinates[i]
+            coord = coord[coord[:, -1] == coord_class][:, :2]
+            coord = remove_edge_coord(coord, imgdata.shape[1:3],
+                                      window_size // 2 + 1)
+            if num_images > len(coord):
+                raise ValueError("Number of images cannot be greater than "
+                                 "the available coordinates")
+            stack_i, com_i = imcrop_randcoord(img, coord, window_size,
+                                              num_images, random_state=i)
+        subimages_all[i * num_images:(i + 1) * num_images] = stack_i
+        com_all[i * num_images:(i + 1) * num_images] = com_i
+        frames_all[i * num_images:(i + 1) * num_images] = \
+            np.ones(len(com_i), int) * i
+    return subimages_all, com_all, frames_all
+
+
+def extract_subimages(imgdata: np.ndarray,
+                      coordinates: Union[Dict, np.ndarray],
+                      window_size: int, coord_class: int = 0
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Subimages at located atoms (:298-350)."""
+    if isinstance(coordinates, np.ndarray):
+        coordinates = np.concatenate(
+            (coordinates, np.zeros((coordinates.shape[0], 1))), axis=-1)
+        coordinates = {0: coordinates}
+    if np.ndim(imgdata) == 2:
+        imgdata = imgdata[None, ..., None]
+    subimages_all, com_all, frames_all = [], [], []
+    for i, (img, coord) in enumerate(zip(imgdata, coordinates.values())):
+        coord_i = coord[np.where(coord[:, 2] == coord_class)][:, :2]
+        stack_i, com_i = get_imgstack(img, coord_i, window_size)
+        if stack_i is None:
+            continue
+        subimages_all.append(stack_i)
+        com_all.append(com_i)
+        frames_all.append(np.ones(len(com_i), int) * i)
+    if len(subimages_all) > 0:
+        subimages_all = np.concatenate(subimages_all, axis=0)
+        com_all = np.concatenate(com_all, axis=0)
+        frames_all = np.concatenate(frames_all, axis=0)
+    return subimages_all, com_all, frames_all
+
+
+def extract_patches_2d(image: np.ndarray, patch_size: Tuple[int, int],
+                       max_patches: int, random_state: int = 0
+                       ) -> np.ndarray:
+    """Random 2D patches (sklearn extract_patches_2d equivalent used at
+    :353-366)."""
+    ph, pw = patch_size
+    h, w = image.shape[:2]
+    rng = np.random.RandomState(random_state)
+    ii = rng.randint(0, h - ph + 1, max_patches)
+    jj = rng.randint(0, w - pw + 1, max_patches)
+    return np.stack([image[i:i + ph, j:j + pw] for i, j in zip(ii, jj)])
+
+
+def extract_patches_(lattice_im: np.ndarray, lattice_mask: np.ndarray,
+                     patch_size: Union[int, Tuple[int, int]],
+                     num_patches: int, **kwargs: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Patches from an image/mask pair — same random state for both
+    (:353-366)."""
+    rs = kwargs.get("random_state", 0)
+    if isinstance(patch_size, int):
+        patch_size = (patch_size, patch_size)
+    images = extract_patches_2d(lattice_im, patch_size, num_patches, rs)
+    labels = extract_patches_2d(lattice_mask, patch_size, num_patches, rs)
+    return images, labels
+
+
+def extract_patches(images: np.ndarray, masks: np.ndarray,
+                    patch_size: Union[int, Tuple[int, int]],
+                    num_patches: int, **kwargs: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Patch stacks from image/mask batches (:369-389)."""
+    if np.ndim(images) == 2:
+        images = images[None, ...]
+    if np.ndim(masks) == 2:
+        masks = masks[None, ...]
+    images_aug, masks_aug = [], []
+    for im, ma in zip(images, masks):
+        im_aug, ma_aug = extract_patches_(im, ma, patch_size, num_patches,
+                                          **kwargs)
+        images_aug.append(im_aug)
+        masks_aug.append(ma_aug)
+    return np.concatenate(images_aug, 0), np.concatenate(masks_aug, 0)
+
+
+def extract_patches_and_spectra(hdata: np.ndarray, *args: np.ndarray,
+                                coordinates: np.ndarray = None,
+                                window_size: int = None,
+                                avg_pool: int = 2, **kwargs
+                                ) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """Image patches + center spectra from a hyperspectral cube
+    (:392-452)."""
+    if hdata.ndim not in (3, 4):
+        raise ValueError("Hyperspectral data must be 3D or 4D")
+    if len(args) > 0:
+        img = args[0]
+        if img.ndim != 2:
+            raise ValueError("Image data must be 2D")
+    else:
+        band = kwargs.get("band", 0)
+        if hdata.ndim == 3:
+            if isinstance(band, int):
+                band = [band, band + 1]
+            img = hdata[..., band[0]:band[1]].mean(-1)
+        else:
+            if isinstance(band, int):
+                band = [band, band + 1, band, band + 1]
+            elif isinstance(band, list) and len(band) == 2:
+                band = [*band, *band]
+            img = hdata[..., band[0]:band[1], band[2]:band[3]].mean((-2, -1))
+    patches, coords, _ = extract_subimages(img, coordinates, window_size)
+    patches = patches.squeeze()
+    spectra = np.array([hdata[int(c[0]), int(c[1])] for c in coords])
+    if hdata.ndim == 3:
+        k = avg_pool
+        n = (spectra.shape[-1] // k) * k
+        spectra = spectra[..., :n].reshape(
+            spectra.shape[0], -1, k).mean(-1)
+    else:
+        k = (avg_pool, avg_pool) if isinstance(avg_pool, int) else avg_pool
+        s0, h_, w_ = spectra.shape
+        h2, w2 = (h_ // k[0]) * k[0], (w_ // k[1]) * k[1]
+        spectra = spectra[:, :h2, :w2].reshape(
+            s0, h2 // k[0], k[0], w2 // k[1], k[1]).mean((2, 4))
+    return patches, spectra, coords
+
+
+def FFTmask(imgsrc: np.ndarray, maskratio: int = 10
+            ) -> Tuple[np.ndarray, np.ndarray]:
+    """FFT + center-disk-masked FFT (:455-473)."""
+    F1 = np.fft.fft2(imgsrc)
+    F2 = np.fft.fftshift(F1)
+    F3 = F2.copy()
+    l = int(imgsrc.shape[0] / maskratio)
+    m = int(imgsrc.shape[0] / 2)
+    y, x = np.ogrid[1:2 * l + 1, 1:2 * l + 1]
+    mask = (x - l) * (x - l) + (y - l) * (y - l) <= l * l
+    F3[m - l:m + l, m - l:m + l] = F3[m - l:m + l, m - l:m + l] * (1 - mask)
+    return F2, F3
+
+
+def FFTsub(imgsrc: np.ndarray, imgfft: np.ndarray) -> np.ndarray:
+    """|image - reconstruction| normalized (:475-487)."""
+    reconstruction = np.real(np.fft.ifft2(np.fft.ifftshift(imgfft)))
+    diff = np.abs(imgsrc - reconstruction)
+    diff = diff - np.amin(diff)
+    return diff / np.amax(diff)
+
+
+def threshImg(diff: np.ndarray, threshL: float = 0.25,
+              threshH: float = 0.75) -> np.ndarray:
+    """Defect map from a difference image (:489-499)."""
+    return (diff < threshL) + (diff > threshH)
+
+
+def crop_borders(imgdata: np.ndarray, thresh: float = 0) -> np.ndarray:
+    """Crops zero borders of (h, w, c) array (:502-519)."""
+    def crop(img):
+        mask = img > thresh
+        return img[np.ix_(mask.any(1), mask.any(0))]
+    imgdata_cr = [crop(imgdata[..., i]) for i in range(imgdata.shape[-1])]
+    return np.array(imgdata_cr).transpose(1, 2, 0)
+
+
+def get_coord_grid(imgdata: np.ndarray, step: int,
+                   return_dict: bool = True
+                   ) -> Union[np.ndarray, Dict[int, np.ndarray]]:
+    """Square coordinate grid per frame (:522-551)."""
+    if np.ndim(imgdata) == 2:
+        imgdata = np.expand_dims(imgdata, axis=0)
+    coord = np.array([[i, j]
+                      for i in range(0, imgdata.shape[1], step)
+                      for j in range(0, imgdata.shape[2], step)],
+                     dtype=float)
+    if return_dict:
+        coord = np.concatenate(
+            (coord, np.zeros((coord.shape[0], 1))), axis=-1)
+        return {i: coord for i in range(imgdata.shape[0])}
+    return np.concatenate([coord for _ in range(imgdata.shape[0])], axis=0)
+
+
+def cv_thresh(imgdata: np.ndarray, threshold: float = .5) -> np.ndarray:
+    """Binary threshold (cv2.THRESH_BINARY semantics: strictly greater)
+    (:554-564)."""
+    return (np.asarray(imgdata) > threshold).astype(np.float32)
+
+
+def filter_cells_(imgdata: np.ndarray, im_thresh: float = .5,
+                  blob_thresh: int = 150,
+                  filter_: str = "below") -> np.ndarray:
+    """Removes blobs above/below a size threshold, one frame (:567-585) —
+    device CC labeling + size mask."""
+    mask = cv_thresh(imgdata, im_thresh)
+    lab = np.asarray(label_components(jnp.asarray(mask)))
+    H, W = mask.shape
+    flat = lab.reshape(-1)
+    sizes = np.bincount(flat[flat < H * W], minlength=H * W)
+    blob_size = sizes[np.minimum(flat, H * W - 1)].reshape(H, W)
+    fg = lab < H * W
+    if filter_ == "above":
+        keep = fg & (blob_size <= blob_thresh)
+    else:
+        keep = fg & (blob_size >= blob_thresh)
+    return keep.astype(imgdata.dtype)
+
+
+def filter_cells(imgdata: np.ndarray, im_thresh: float = 0.5,
+                 blob_thresh: int = 50, filter_: str = "below"
+                 ) -> np.ndarray:
+    """Blob size filtering for a stack (:598-625)."""
+    filtered_stack = np.zeros_like(imgdata)
+    for i, img in enumerate(imgdata):
+        filtered_stack[i] = filter_cells_(img, im_thresh, blob_thresh,
+                                          filter_)
+    return filtered_stack
+
+
+def _blob_moments(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-blob centroid + orientation angle from second moments.
+
+    Replaces cv2.findContours + cv2.fitEllipse (:587-596, 628-670) with
+    moment-based ellipse estimation (same physical quantities)."""
+    lab = np.asarray(label_components(jnp.asarray(mask)))
+    H, W = mask.shape
+    flat = lab.reshape(-1)
+    fg = flat < H * W
+    if not fg.any():
+        return None, None
+    roots, inv = np.unique(flat[fg], return_inverse=True)
+    ys, xs = np.divmod(np.arange(H * W)[fg], W)
+    n = np.bincount(inv)
+    my = np.bincount(inv, weights=ys) / n
+    mx = np.bincount(inv, weights=xs) / n
+    dy = ys - my[inv]
+    dx = xs - mx[inv]
+    cyy = np.bincount(inv, weights=dy * dy) / n
+    cxx = np.bincount(inv, weights=dx * dx) / n
+    cxy = np.bincount(inv, weights=dx * dy) / n
+    # orientation of the principal axis (degrees, like cv2.fitEllipse)
+    angles = 0.5 * np.degrees(np.arctan2(2 * cxy, cxx - cyy)) + 90.0
+    com = np.stack([mx, my], axis=1)  # (x, y) like cv2
+    big_enough = n >= 5
+    return com[big_enough], angles[big_enough]
+
+
+def get_blob_params(nn_output: np.ndarray, im_thresh: float,
+                    blob_thresh: int, filter_: str = "below") -> Dict:
+    """Positions and angles of particles per frame (:628-670)."""
+    blob_dict = {}
+    nn_output = nn_output[..., 0] if np.ndim(nn_output) == 4 else nn_output
+    for i, frame in enumerate(nn_output):
+        frame_f = filter_cells_(frame, im_thresh, blob_thresh, filter_)
+        com_arr, angles = _blob_moments(frame_f)
+        dictionary = OrderedDict()
+        dictionary["decoded"] = frame
+        dictionary["coordinates"] = com_arr
+        dictionary["angles"] = np.asarray(angles) if angles is not None \
+            else np.array([])
+        blob_dict[i] = dictionary
+    return blob_dict
+
+
+def load_image(image_path: str) -> np.ndarray:
+    """Loads an image from .npy or standard image formats (:674-704)."""
+    import os
+    _, ext = os.path.splitext(image_path)
+    ext = ext.lower()
+    if ext == ".npy":
+        img_array = np.load(image_path)
+        if img_array.dtype == np.uint8:
+            return img_array
+        float_array = img_array.astype(np.float64)
+        min_val, max_val = np.min(float_array), np.max(float_array)
+        normalized = (float_array - min_val) / max(max_val - min_val, 1e-12)
+        return (normalized * 255).astype(np.uint8)
+    from PIL import Image
+    return np.asarray(Image.open(image_path).convert("RGB"))

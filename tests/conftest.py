@@ -1,0 +1,26 @@
+"""Test configuration: force a virtual 8-device CPU platform so multi-chip
+sharding paths are exercised without TPU hardware (the JAX-idiomatic "fake
+cluster", SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the environment's sitecustomize force-registers the axon (remote TPU)
+# platform; tests must run on the local virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def lattice_data():
+    from atomai_tpu.utils import make_lattice_stack
+    return make_lattice_stack(n_images=8, size=64, spacing=12, seed=1)

@@ -1,0 +1,124 @@
+"""Trainer engine tests (reference model: determinism + training contracts,
+`/root/reference/test/trainers/test_trainer.py:77-183`)."""
+
+import jax
+import numpy as np
+import pytest
+
+from atomai_tpu.models import Segmentor
+from atomai_tpu.trainers import SegTrainer
+
+
+def _data(seed=1, n=8, size=32):
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, size, size).astype(np.float32)
+    y = (rng.rand(n, size, size) > 0.5).astype(np.float32)
+    return X, y, X.copy(), y.copy()
+
+
+def _params_equal(p1, p2):
+    l1 = jax.tree.leaves(p1)
+    l2 = jax.tree.leaves(p2)
+    return all(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2))
+
+
+def test_determinism_same_seed():
+    """Same seed -> identical final losses and parameters
+    (reference `test_trainer.py:77-95`)."""
+    X, y, Xt, yt = _data()
+    results = []
+    for _ in range(2):
+        t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=7)
+        t.fit(X, y, Xt, yt, training_cycles=6, batch_size=4,
+              print_loss=6, filename="/tmp/aoi_det")
+        results.append((t.loss_acc["train_loss"][-1], t.params))
+    assert results[0][0] == pytest.approx(results[1][0], abs=1e-6)
+    assert _params_equal(results[0][1], results[1][1])
+
+
+def test_different_seed_differs():
+    X, y, Xt, yt = _data()
+    finals = []
+    for seed in (1, 2):
+        t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1],
+                      seed=seed)
+        t.fit(X, y, Xt, yt, training_cycles=6, batch_size=4,
+              print_loss=6, filename="/tmp/aoi_det2")
+        finals.append(t.params)
+    assert not _params_equal(finals[0], finals[1])
+
+
+def test_loss_decreases():
+    X, y, _, _ = _data(n=16)
+    # learnable target: masks correlated with images
+    y = (X > 0.5).astype(np.float32)
+    t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    t.fit(X, y, training_cycles=60, batch_size=8, print_loss=30,
+          filename="/tmp/aoi_lossdec")
+    losses = t.loss_acc["train_loss"]
+    assert losses[-1] < losses[0]
+
+
+def test_full_epoch_mode():
+    X, y, Xt, yt = _data(n=8)
+    t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    t.fit(X, y, Xt, yt, training_cycles=3, batch_size=4, full_epoch=True,
+          print_loss=1, filename="/tmp/aoi_fullep")
+    assert len(t.loss_acc["train_loss"]) == 3
+
+
+def test_swa_changes_weights():
+    X, y, Xt, yt = _data(n=8)
+    t1 = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=3)
+    t1.fit(X, y, Xt, yt, training_cycles=8, batch_size=4, swa=False,
+           print_loss=8, filename="/tmp/aoi_noswa")
+    t2 = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=3)
+    t2.fit(X, y, Xt, yt, training_cycles=8, batch_size=4, swa=True,
+           print_loss=8, filename="/tmp/aoi_swa")
+    assert not _params_equal(t1.params, t2.params)
+
+
+def test_perturb_weights_requires_no_bn():
+    X, y, Xt, yt = _data()
+    t = Segmentor("Unet", 1, nb_filters=4, batch_norm=True)
+    with pytest.raises(AssertionError):
+        t.fit(X, y, Xt, yt, training_cycles=2, batch_size=4,
+              perturb_weights=True, filename="/tmp/aoi_pw")
+
+
+def test_perturb_weights_runs_without_bn():
+    X, y, Xt, yt = _data()
+    t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1],
+                  batch_norm=False)
+    t.fit(X, y, Xt, yt, training_cycles=4, batch_size=4,
+          perturb_weights={"a": .01, "gamma": 1.5, "e_p": 2},
+          print_loss=4, filename="/tmp/aoi_pw2")
+    assert len(t.loss_acc["train_loss"]) == 4
+
+
+def test_lr_scheduler():
+    X, y, Xt, yt = _data()
+    t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    t.fit(X, y, Xt, yt, training_cycles=4, batch_size=4,
+          lr_scheduler=[1e-3, 1e-4], print_loss=4,
+          filename="/tmp/aoi_lrs")
+    assert len(t.loss_acc["train_loss"]) == 4
+
+
+def test_multiclass_training():
+    rng = np.random.RandomState(0)
+    X = rng.rand(8, 32, 32).astype(np.float32)
+    y = rng.randint(0, 3, (8, 32, 32)).astype(np.int64)
+    t = Segmentor("Unet", 3, nb_filters=4, layers=[1, 1, 1, 1])
+    t.fit(X, y, training_cycles=4, batch_size=4, compute_accuracy=True,
+          print_loss=4, filename="/tmp/aoi_mc")
+    assert len(t.loss_acc["train_accuracy"]) == 4
+
+
+def test_nb_classes_mismatch_raises():
+    X, y, Xt, yt = _data()
+    t = Segmentor("Unet", 3, nb_filters=4)
+    with pytest.raises(AssertionError):
+        t.fit(X, y, Xt, yt, training_cycles=2, batch_size=4,
+              filename="/tmp/aoi_mm")
