@@ -2,6 +2,13 @@
 `atomai/models/__init__.py:1-16`)."""
 
 from .segmentor import Segmentor
+from .imspec import ImSpec
+from .regressor import Regressor
+from .classifier import Classifier
+from .denoiser import DenoisingAutoencoder, denoise_images
+from .dgm import BaseVAE, VAE, rVAE, jVAE, jrVAE
 from .loaders import load_model, load_ensemble
 
-__all__ = ["Segmentor", "load_model", "load_ensemble"]
+__all__ = ["Segmentor", "ImSpec", "Regressor", "Classifier",
+           "DenoisingAutoencoder", "denoise_images", "BaseVAE", "VAE",
+           "rVAE", "jVAE", "jrVAE", "load_model", "load_ensemble"]

@@ -1,0 +1,449 @@
+"""BaseVAE + standard VAE.
+
+Parity: `atomai/models/dgm/vae.py` — BaseVAE public API (:28-591):
+encode/decode/reconstruct with batching (:105-271), per-pixel image
+encoding via sliding sub-windows (:273-344), trajectory encoding
+(:346-385), 2D manifold rendering (:387-463), continuous+discrete manifold
+traversal (:465-521), input validation (:543-578); VAE (:594-748):
+class-conditional via one-hot concat to z (:661-687), capacity annealing
+kwarg (:716-719), model saved every epoch (:742).
+"""
+
+import os
+from copy import deepcopy as dc
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...losses_metrics.vi_losses import vae_loss
+from ...nets.ed import init_VAE_nets
+from ...trainers.vitrainer import viBaseTrainer
+from ...utils.coords import imcoordgrid
+from ...utils.img import crop_borders, extract_subimages, get_coord_grid
+from ...utils.coords import subimg_trajectories
+from ...utils.preproc import to_onehot
+
+
+def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2
+              ) -> np.ndarray:
+    """Tiles (N, C, H, W) images into one grid image (torchvision
+    ``make_grid`` equivalent used at `vae.py:505`)."""
+    n, c, h, w = images.shape
+    ncol = int(np.ceil(n / nrow))
+    grid = np.zeros((c, ncol * (h + padding) + padding,
+                     nrow * (w + padding) + padding), images.dtype)
+    for idx in range(n):
+        i, j = divmod(idx, nrow)
+        y0 = i * (h + padding) + padding
+        x0 = j * (w + padding) + padding
+        grid[:, y0:y0 + h, x0:x0 + w] = images[idx]
+    return grid
+
+
+def norm_ppf(q: np.ndarray) -> np.ndarray:
+    """Standard normal percent-point function (scipy.stats.norm.ppf)."""
+    from scipy.stats import norm
+    return norm.ppf(q)
+
+
+class BaseVAE(viBaseTrainer):
+    """General class for VAE models (reference `vae.py:28-591`)."""
+
+    def __init__(self, in_dim: Tuple[int, ...] = None, latent_dim: int = 2,
+                 nb_classes: int = 0, coord: int = 0,
+                 discrete_dim: Optional[List[int]] = None, seed: int = 0,
+                 **kwargs) -> None:
+        super().__init__(seed=max(seed, 0) + 1)
+        in_dim_error_msg = (
+            "You must specify the input dimensions and pass them as a "
+            "tuple. For images, specify (height, width) or (height, "
+            "width, channels) if multiple channels. For spectra, specify "
+            "(length,)")
+        if in_dim is None or not isinstance(in_dim, (tuple, list)):
+            raise AssertionError(in_dim_error_msg)
+        if not isinstance(in_dim[0], int):
+            raise AssertionError(in_dim_error_msg)
+
+        self.in_dim = tuple(in_dim)
+        self.z_dim = latent_dim
+        if isinstance(discrete_dim, list):
+            self.z_dim = self.z_dim + sum(discrete_dim)
+        self.discrete_dim = discrete_dim
+        self.coord = coord
+        if coord:
+            if len(in_dim) not in (2, 3):
+                raise NotImplementedError(
+                    "VAE with rotation and translational invariance are "
+                    "available only for 2D image data")
+            self.z_dim = self.z_dim + coord
+            self.x_coord = imcoordgrid(self.in_dim[:2])
+        self.nb_classes = nb_classes
+
+        encoder_net, decoder_net, self.metadict = init_VAE_nets(
+            self.in_dim, latent_dim, coord, discrete_dim, nb_classes,
+            **kwargs)
+        self.metadict["vae_type"] = type(self).__name__
+        self.set_model(encoder_net, decoder_net)
+        self.sigmoid_out = self.metadict["sigmoid_out"]
+        self.loss = "mse"
+
+    # --------------------------------------------------------- inference
+    def _encode_apply(self, x):
+        out = self.encoder_net.apply({"params": self.params["encoder"]},
+                                     x, False)
+        return out
+
+    def _decode_apply(self, z, x_coord=None):
+        if self.coord:
+            return self.decoder_net.apply(
+                {"params": self.params["decoder"]}, x_coord, z, False)
+        return self.decoder_net.apply(
+            {"params": self.params["decoder"]}, z, False)
+
+    def encode_(self, x_new, **kwargs) -> np.ndarray:
+        """Encodes data; returns concatenated encoder outputs
+        (reference `vae.py:105-142`)."""
+        x_new = np.asarray(x_new, np.float32)
+        if x_new.ndim == len(self.in_dim):
+            x_new = x_new[None]
+        x_new = jnp.asarray(x_new)
+        num_batches = kwargs.get("num_batches", 10)
+        batch_size = max(len(x_new) // num_batches, 1)
+        z_encoded = []
+        for i in range(0, len(x_new), batch_size):
+            out = self._encode_apply(x_new[i:i + batch_size])
+            z_encoded.append(np.concatenate(
+                [np.asarray(o) for o in out], axis=-1))
+        return np.concatenate(z_encoded)
+
+    def encode(self, x_new, **kwargs):
+        """Returns (z_mean, z_logsd[, alphas]) (reference
+        `vae.py:144-180`)."""
+        z = self.encode_(x_new, **kwargs)
+        if not self.discrete_dim:
+            z_mean = z[:, :self.z_dim]
+            z_logsd = z[:, self.z_dim:]
+            return z_mean, z_logsd
+        cont_dim = self.z_dim - sum(self.discrete_dim)
+        z_mean = z[:, :cont_dim]
+        z_logsd = z[:, cont_dim:2 * cont_dim]
+        alphas = z[:, 2 * cont_dim:]
+        return z_mean, z_logsd, alphas
+
+    def decode(self, z_sample, y: Optional[Union[int, np.ndarray]] = None
+               ) -> np.ndarray:
+        """Latent space -> data space (reference `vae.py:182-225`)."""
+        z_sample = np.asarray(z_sample, np.float32)
+        if z_sample.ndim == 1:
+            z_sample = z_sample[None]
+        if y is not None:
+            if isinstance(y, int):
+                y = np.array([y])
+            y = np.asarray(y).reshape(-1)
+            targets = to_onehot(y, self.nb_classes)
+            if len(targets) == 1 and len(z_sample) > 1:
+                targets = np.repeat(targets, len(z_sample), axis=0)
+            z_sample = np.concatenate([z_sample, targets], axis=-1)
+        z_sample = jnp.asarray(z_sample)
+        if self.coord:
+            xc = jnp.broadcast_to(
+                self.x_coord, (z_sample.shape[0],) + self.x_coord.shape)
+            x_decoded = self._decode_apply(z_sample, xc)
+        else:
+            x_decoded = self._decode_apply(z_sample)
+        if self.sigmoid_out:
+            x_decoded = jax.nn.sigmoid(x_decoded)
+        return np.asarray(x_decoded)
+
+    def reconstruct(self, x_new, **kwargs) -> np.ndarray:
+        """Prediction with uncertainty by sampling from the encoded
+        distribution (reference `vae.py:227-271`)."""
+        num_samples = kwargs.get("num_samples", 32)
+        label = kwargs.get("label")
+        encoded = self.encode(x_new, num_batches=kwargs.get(
+            "num_batches", 10))
+        if len(encoded) == 2:
+            z_mean, z_logsd = encoded
+            alphas = None
+        else:
+            z_mean, z_logsd, alphas = encoded
+        z_mean = z_mean[:, self.coord:]
+        z_logsd = z_logsd[:, self.coord:]
+        if label is not None:
+            n = self.nb_classes if self.discrete_dim is None \
+                else sum(self.discrete_dim)
+            alphas = to_onehot(np.array([label]), n)
+        z_sd = np.exp(z_logsd)
+        rng = np.random.RandomState(0)
+        decoded_all = []
+        for _ in range(num_samples):
+            z_sample = z_mean + z_sd * rng.randn(*z_mean.shape)
+            z_sample = z_sample.reshape(1, -1) if z_sample.shape[0] == 1 \
+                else z_sample
+            if (alphas is not None):
+                z_sample = np.concatenate(
+                    [z_sample, np.broadcast_to(
+                        alphas, (z_sample.shape[0], alphas.shape[-1]))],
+                    axis=1)
+            decoded_all.append(self.decode(z_sample))
+        return np.concatenate(decoded_all, axis=0)
+
+    def encode_images(self, imgdata, **kwargs
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encodes every pixel of every image (reference
+        `vae.py:273-298`)."""
+        if (imgdata.ndim == len(self.in_dim) == 2 or
+                imgdata.ndim == len(self.in_dim) == 3):
+            imgdata = np.expand_dims(imgdata, axis=0)
+        imgdata_encoded, imgdata_ = [], []
+        for i, img in enumerate(imgdata):
+            print("\rImage {}/{}".format(i + 1, imgdata.shape[0]), end="")
+            img_, img_encoded = self.encode_image_(img, **kwargs)
+            imgdata_encoded.append(img_encoded)
+            imgdata_.append(img_)
+        return np.array(imgdata_), np.array(imgdata_encoded)
+
+    def encode_image_(self, img, **kwargs
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encodes a subimage around each pixel (reference
+        `vae.py:300-344`)."""
+        num_batches = kwargs.get("num_batches", 10)
+        inf = int(1e5)
+        img_to_encode = img.copy()
+        coordinates = get_coord_grid(img_to_encode, 1, return_dict=False)
+        batch_size = max(coordinates.shape[0] // num_batches, 1)
+        encoded_img = -inf * np.ones(
+            (*img_to_encode.shape, self.z_dim))
+        for i in range(0, coordinates.shape[0], batch_size):
+            coord_i = coordinates[i:i + batch_size]
+            subimgs_i, com_i, _ = extract_subimages(
+                img_to_encode, coord_i, self.in_dim[0])
+            if len(subimgs_i) > 0:
+                z_mean = self.encode(subimgs_i.squeeze(-1),
+                                     num_batches=10)[0]
+                for k, (l, m) in enumerate(com_i):
+                    encoded_img[int(l), int(m)] = z_mean[k]
+        img_to_encode[encoded_img[..., 0] == -inf] = 0
+        img_to_encode = crop_borders(img_to_encode[..., None], 0)
+        encoded_img = crop_borders(encoded_img, -inf)
+        return img_to_encode[..., 0], encoded_img
+
+    def encode_trajectories(self, imgdata, coord_class_dict,
+                            window_size: int, min_length: int, rmax: int,
+                            **kwargs):
+        """Trajectories + latent values (reference `vae.py:346-385`)."""
+        t = subimg_trajectories(imgdata, coord_class_dict, window_size,
+                                min_length, rmax)
+        trajectories, frames, subimgs_all = t.get_all_trajectories()
+        trajectories_enc_all = []
+        for traj, subimgs in zip(trajectories, subimgs_all):
+            z_mean = self.encode(
+                subimgs, num_batches=kwargs.get("num_batches", 10))[0]
+            traj_enc = np.concatenate((traj[:, :2], z_mean), axis=-1)
+            trajectories_enc_all.append(traj_enc)
+        return trajectories_enc_all, frames, subimgs_all
+
+    def manifold2d(self, **kwargs) -> np.ndarray:
+        """Renders the learned 2D manifold (reference `vae.py:387-463`).
+        All d^2 grid points are decoded in a single batched call."""
+        y = kwargs.get("label")
+        if y is None and self.nb_classes != 0:
+            y = 0
+        elif y is not None and self.nb_classes == 0:
+            y = None
+        l1, l2 = kwargs.get("l1"), kwargs.get("l2")
+        d = kwargs.get("d", 9)
+        if l1 and l2:
+            grid_x = np.linspace(l1[1], l1[0], d)
+            grid_y = np.linspace(l2[0], l2[1], d)
+        else:
+            grid_x = norm_ppf(np.linspace(0.95, 0.05, d))
+            grid_y = norm_ppf(np.linspace(0.05, 0.95, d))
+        z = np.array([[xi, yi] for xi in grid_x for yi in grid_y])
+        if self.discrete_dim:
+            z_disc = np.zeros((len(z), sum(self.discrete_dim)))
+            z_disc[:, kwargs.get("disc_idx", 0)] = 1
+            z = np.concatenate([z, z_disc], axis=-1)
+        if y is not None:
+            imdec = self.decode(z, np.full(len(z), y, dtype=int))
+        else:
+            imdec = self.decode(z)
+        h, w = self.in_dim[:2]
+        if len(self.in_dim) == 2:
+            figure = np.zeros((h * d, w * d))
+        else:
+            figure = np.zeros((h * d, w * d, self.in_dim[-1]))
+        for i in range(d):
+            for j in range(d):
+                figure[i * h:(i + 1) * h, j * w:(j + 1) * w] = \
+                    imdec[i * d + j]
+        if figure.min() < 0:
+            figure = (figure - figure.min()) / np.ptp(figure)
+        if kwargs.get("savefig"):
+            import matplotlib
+            matplotlib.use("Agg", force=False)
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(10, 10))
+            ax.imshow(figure, cmap=kwargs.get("cmap", "gnuplot"),
+                      origin=kwargs.get("origin", "lower"))
+            savedir = kwargs.get("savedir", "./vae_learning/")
+            os.makedirs(savedir, exist_ok=True)
+            fname = kwargs.get("filename", "manifold_2d")
+            fig.savefig(os.path.join(savedir, f"{fname}.png"))
+            plt.close(fig)
+        return figure
+
+    def manifold_traversal(self, cont_idx: int, d: int = 10,
+                           cont_idx_fixed: int = 0, plot: bool = False,
+                           **kwargs) -> np.ndarray:
+        """Joint cont+disc latent traversal (reference `vae.py:465-521`)."""
+        if self.discrete_dim is None:
+            raise TypeError(
+                "Traversal of latent space is implemented only for joint "
+                "continuous and discrete latent distributions")
+        num_samples = d ** 2
+        cont_dim = self.z_dim - sum(self.discrete_dim) - self.coord
+        samples_cont = np.zeros((num_samples, cont_dim)) + cont_idx_fixed
+        cdf_traversal = np.linspace(0.05, 0.95, d)
+        cont_traversal = norm_ppf(cdf_traversal)
+        for i in range(d):
+            for j in range(d):
+                samples_cont[i * d + j, cont_idx] = cont_traversal[j]
+        disc_dim = self.discrete_dim[0]
+        n = np.arange(0, disc_dim)
+        n = np.tile(n, d // disc_dim + 1)[:d]
+        samples_disc = []
+        for i in range(d):
+            samples_disc_i = np.zeros((d, disc_dim))
+            samples_disc_i[:, n[i]] = 1
+            samples_disc.append(samples_disc_i)
+        samples_disc = np.concatenate(samples_disc)
+        samples = np.concatenate((samples_cont, samples_disc), -1)
+        decoded = self.decode(samples)
+        decoded = decoded.transpose(0, 3, 1, 2) if decoded.ndim == 4 \
+            else decoded[:, None]
+        grid = make_grid(decoded, nrow=d, padding=kwargs.get("pad", 2))
+        grid = grid.transpose(1, 2, 0) if len(self.in_dim) == 3 \
+            else grid[0]
+        grid = (grid - grid.min()) / max(np.ptp(grid), 1e-12)
+        if not kwargs.get("keep_square", False) and disc_dim != d:
+            grid = grid[:(self.in_dim[0] + kwargs.get("pad", 2)) * disc_dim]
+        return grid
+
+    @classmethod
+    def visualize_manifold_learning(cls, frames_dir: str, **kwargs
+                                    ) -> None:
+        """Gif of manifold evolution (reference `vae.py:523-541`)."""
+        from ...utils.viz import animation_from_png
+        movie_name = kwargs.get("moviename", "manifold_learning")
+        duration = kwargs.get("frame_duration", 1)
+        animation_from_png(frames_dir, movie_name, duration,
+                           remove_dir=False)
+
+    def _check_inputs(self, X_train, y_train=None, X_test=None,
+                      y_test=None) -> None:
+        """Input validation (reference `vae.py:543-578`)."""
+        if self.in_dim != X_train.shape[1:]:
+            raise RuntimeError(
+                "The values of input dimensions you specified do not "
+                "match the training data dimensions. Expected {} but got "
+                "{}".format(self.in_dim, X_train.shape[1:]))
+        if X_test is not None and self.in_dim != X_test.shape[1:]:
+            raise RuntimeError(
+                "The values of input dimensions you specified do not "
+                "match the test data dimensions. Expected {} but got "
+                "{}".format(self.in_dim, X_test.shape[1:]))
+        if y_train is not None and self.nb_classes == 0:
+            raise RuntimeError(
+                "You must have forgotten to specify number of classes "
+                "during the initialization.")
+        lbl_match = True
+        if y_train is not None and y_test is None:
+            lbl_match = self.nb_classes == len(np.unique(y_train))
+        elif y_train is not None and y_test is not None:
+            lbl_match = (self.nb_classes == len(np.unique(y_train))
+                         == len(np.unique(y_test)))
+        if not lbl_match:
+            raise RuntimeError(
+                "The number of classes specified at initialization must "
+                "be equal to the number of classes in train and test "
+                "labels")
+
+    def _fit_loop(self, X_train, y_train, X_test, y_test, loss, **kwargs):
+        """Common epoch loop shared by all VAE flavors
+        (reference per-class fit loops, e.g. `vae.py:731-744`)."""
+        self.compile_trainer((X_train, y_train), (X_test, y_test),
+                             **kwargs)
+        self.loss = loss
+        if self.loss == "ce":
+            self.sigmoid_out = True
+            self.metadict["sigmoid_out"] = True
+        self.recording = kwargs.get("recording", False)
+        verbose = kwargs.get("verbose", True)
+        for e in range(self.training_cycles):
+            self.current_epoch = e
+            elbo_epoch = self.train_epoch()
+            self.loss_history["train_loss"].append(elbo_epoch)
+            if self.X_test is not None:
+                elbo_epoch_test = self.evaluate_model()
+                self.loss_history["test_loss"].append(elbo_epoch_test)
+            if verbose:
+                self.print_statistics(e)
+            self.update_metadict()
+            if getattr(self, "recording", False) and self.z_dim in (3, 5):
+                self.manifold2d(savefig=True, filename=str(e))
+            self.save_model(self.filename)
+        if getattr(self, "recording", False) and self.z_dim in (3, 5):
+            self.visualize_manifold_learning("./vae_learning")
+
+    def update_metadict(self):
+        self.metadict["num_epochs"] = self.current_epoch
+        self.metadict["num_iter"] = self.num_iter
+
+
+class VAE(BaseVAE):
+    """Standard Variational Autoencoder (reference `vae.py:594-748`).
+
+    Example:
+        >>> vae = aoi.models.VAE((28, 28))
+        >>> vae.fit(imstack_train, training_cycles=100, batch_size=100)
+        >>> vae.manifold2d()
+    """
+
+    def __init__(self, in_dim: Tuple[int, ...] = None, latent_dim: int = 2,
+                 nb_classes: int = 0, seed: int = 0, **kwargs) -> None:
+        super().__init__(in_dim, latent_dim, nb_classes, 0, **kwargs)
+        self.kdict_ = dc(kwargs)
+
+    def elbo_fn(self, x, x_reconstr, *args, **kwargs):
+        return vae_loss(self.loss, self.in_dim, x, x_reconstr, *args,
+                        **kwargs)
+
+    def forward_compute_elbo_fn(self, params, x, y, key, num_iter,
+                                train: bool):
+        """Jittable forward + ELBO (reference `forward_compute_elbo`,
+        `vae.py:661-687`)."""
+        z_mean, z_logsd = self.encoder_net.apply(
+            {"params": params["encoder"]}, x, train)
+        z_sd = jnp.exp(z_logsd)
+        z = self.reparameterize(key, z_mean, z_sd)
+        if y is not None:
+            targets = jax.nn.one_hot(y.astype(jnp.int32), self.nb_classes)
+            z = jnp.concatenate([z, targets], axis=-1)
+        x_reconstr = self.decoder_net.apply(
+            {"params": params["decoder"]}, z, train)
+        kw = {k: v for k, v in self.kdict_.items() if k == "capacity"}
+        return self.elbo_fn(x, x_reconstr, z_mean, z_logsd,
+                            num_iter=num_iter, **kw)
+
+    def fit(self, X_train, y_train=None, X_test=None, y_test=None,
+            loss: str = "mse", **kwargs) -> None:
+        """Trains the VAE (reference `vae.py:689-744`)."""
+        X_train = np.asarray(X_train, np.float32)
+        self._check_inputs(X_train, y_train, X_test, y_test)
+        for k, v in kwargs.items():
+            if k in ("capacity",):
+                self.kdict_[k] = v
+        self._fit_loop(X_train, y_train, X_test, y_test, loss, **kwargs)

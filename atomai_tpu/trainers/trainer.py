@@ -631,10 +631,6 @@ class ImSpecTrainer(BaseTrainer):
             np.asarray(X_train, np.float32), np.asarray(y_train, np.float32),
             np.asarray(X_test, np.float32), np.asarray(y_test, np.float32))
 
-    def compile_trainer(self, train_data=None, loss="mse", **kwargs):
-        super().compile_trainer(train_data, loss=loss, **kwargs)
-
-
 class RegTrainer(BaseTrainer):
     """Image -> vector regression trainer (reference
     `trainer.py:860-940`)."""
@@ -667,10 +663,6 @@ class RegTrainer(BaseTrainer):
             y_test = y_test[:, None]
         self._stage_batches(X_train, y_train, X_test, y_test)
 
-    def compile_trainer(self, train_data=None, loss="mse", **kwargs):
-        super().compile_trainer(train_data, loss=loss, **kwargs)
-
-
 class clsTrainer(BaseTrainer):
     """Image classification trainer (reference `trainer.py:943-1046`)."""
 
@@ -697,9 +689,6 @@ class clsTrainer(BaseTrainer):
         y_train = np.asarray(y_train, np.int32).reshape(-1)
         y_test = np.asarray(y_test, np.int32).reshape(-1)
         self._stage_batches(X_train, y_train, X_test, y_test)
-
-    def compile_trainer(self, train_data=None, loss="nll", **kwargs):
-        super().compile_trainer(train_data, loss=loss, **kwargs)
 
     def accuracy_fn(self, y, y_prob):
         """Fraction of correct argmax predictions

@@ -1,0 +1,302 @@
+"""Variational-inference training engine (VAE/VED family).
+
+Parity: `atomai/trainers/vitrainer.py:19-397` — encoder+decoder pair
+management (:42-70), shuffled minibatch iterators (:72-124), continuous
+reparameterization (:223-234), Gumbel-Softmax discrete reparameterization
+(:236-248), log-pdf helpers (:250-290), streaming-mean ELBO epoch loops
+(train_epoch :292-318, evaluate_model :320-345), per-epoch statistics
+(:347-359), save/load weights (:361-396).
+
+TPU-first redesign: one jitted ``lax.scan`` over the epoch's shuffled
+batches (single dispatch per epoch); Adam(1e-4) via optax; capacity
+annealing's ``num_iter`` is threaded through the scan as a traced value.
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import load_checkpoint, save_checkpoint
+from ..core.prng import KeySeq
+
+
+class viBaseTrainer:
+    """Base trainer for VAE and VED models."""
+
+    def __init__(self, seed: int = 1):
+        self.keys = KeySeq(seed)
+        np.random.seed(seed)
+        self.in_dim = None
+        self.out_dim = None
+        self.z_dim = 1
+        self.encoder_net = None
+        self.decoder_net = None
+        self.params = None  # {"encoder": ..., "decoder": ...}
+        self.X_train = self.y_train = None
+        self.X_test = self.y_test = None
+        self.tx = None
+        self.opt_state = None
+        self.current_epoch = 0
+        self.num_iter = 0
+        self.metadict: Dict[str, Any] = {}
+        self.loss_history = {"train_loss": [], "test_loss": []}
+        self.filename = "model"
+        self.training_cycles = 1
+        self.batch_size = 1
+        self._train_epoch_fn = None
+        self._eval_epoch_fn = None
+
+    # ------------------------------------------------------------ models
+    def set_model(self, encoder_net, decoder_net) -> None:
+        self.encoder_net = encoder_net
+        self.decoder_net = decoder_net
+
+    def set_encoder(self, encoder_net) -> None:
+        self.encoder_net = encoder_net
+
+    def set_decoder(self, decoder_net) -> None:
+        self.decoder_net = decoder_net
+
+    def _decoder_input_dim(self) -> int:
+        return int(getattr(self.decoder_net, "latent_dim"))
+
+    def _init_params(self) -> None:
+        if self.params is not None:
+            return
+        k1, k2 = self.keys.next(2)
+        x = jnp.zeros((1,) + tuple(self.in_dim), jnp.float32)
+        enc_vars = self.encoder_net.init({"params": k1, "dropout": k1},
+                                         x, False)
+        dec_in = self._decoder_input_dim()
+        z = jnp.zeros((1, dec_in), jnp.float32)
+        if getattr(self, "coord", 0):
+            n = int(np.prod(self.in_dim[:2]))
+            xc = jnp.zeros((1, n, 2), jnp.float32)
+            dec_vars = self.decoder_net.init({"params": k2, "dropout": k2},
+                                             xc, z, False)
+        else:
+            dec_vars = self.decoder_net.init({"params": k2, "dropout": k2},
+                                             z, False)
+        self.params = {"encoder": dict(enc_vars)["params"],
+                       "decoder": dict(dec_vars)["params"]}
+
+    def _reset_rng(self, seed: int) -> None:
+        self.keys = KeySeq(seed)
+        np.random.seed(seed)
+
+    def _reset_weights(self) -> None:
+        self.params = None
+        self._init_params()
+        self.opt_state = None
+
+    def _reset_training_history(self) -> None:
+        self.loss_history = {"train_loss": [], "test_loss": []}
+
+    def _delete_optimizer(self) -> None:
+        self.tx = None
+        self.opt_state = None
+
+    # -------------------------------------------------------------- data
+    def _2jnp(self, X, y=None):
+        X = jnp.asarray(np.asarray(X, np.float32))
+        if y is not None:
+            y = np.asarray(y)
+            y = jnp.asarray(y.astype(np.int32) if np.issubdtype(
+                y.dtype, np.integer) else y.astype(np.float32))
+        return X, y
+
+    def set_data(self, X_train, y_train=None, X_test=None, y_test=None,
+                 memory_alloc: float = 4) -> None:
+        """Stages train/test data as device-resident arrays (replaces the
+        reference's GPU-if-fits DataLoaders, `vitrainer.py:72-124`)."""
+        if X_train is None:
+            raise AssertionError("You must provide input train/test data")
+        self.X_train, self.y_train = self._2jnp(X_train, y_train)
+        if X_test is not None:
+            self.X_test, self.y_test = self._2jnp(X_test, y_test)
+        else:
+            self.X_test = self.y_test = None
+
+    # ----------------------------------------------------------- compile
+    def compile_trainer(self, train_data: Tuple,
+                        test_data: Optional[Tuple] = None,
+                        optimizer=None, elbo_fn: Callable = None,
+                        training_cycles: int = 100, batch_size: int = 32,
+                        **kwargs) -> None:
+        """Compiles the trainer (reference `vitrainer.py:173-221`)."""
+        self.training_cycles = training_cycles
+        self.batch_size = batch_size
+        if elbo_fn is not None:
+            self.elbo_fn = elbo_fn
+        if test_data is not None and test_data[0] is not None:
+            self.set_data(*train_data, *test_data)
+        else:
+            self.set_data(*train_data)
+        self._init_params()
+        if self.tx is None:
+            if optimizer is None:
+                self.tx = optax.adam(1e-4)
+            elif isinstance(optimizer, str):
+                self.tx = {"adam": optax.adam,
+                           "sgd": optax.sgd}[optimizer](1e-4)
+            else:
+                self.tx = optimizer
+        if self.opt_state is None:
+            self.opt_state = self.tx.init(self.params)
+        self.filename = kwargs.get("filename", "./model")
+        self._train_epoch_fn = None
+        self._eval_epoch_fn = None
+
+    # ---------------------------------------------------- reparameterize
+    @classmethod
+    def reparameterize(cls, key, z_mean, z_sd):
+        """Gaussian reparameterization trick (`vitrainer.py:223-234`)."""
+        eps = jax.random.normal(key, z_mean.shape, z_mean.dtype)
+        return z_mean + z_sd * eps
+
+    @classmethod
+    def reparameterize_discrete(cls, key, alpha, tau: float):
+        """Gumbel-Softmax reparameterization (`vitrainer.py:236-248`)."""
+        eps = 1e-12
+        su = jax.random.uniform(key, alpha.shape, alpha.dtype)
+        gumbel = -jnp.log(-jnp.log(su + eps) + eps)
+        log_alpha = jnp.log(alpha + eps)
+        logit = (log_alpha + gumbel) / tau
+        return jax.nn.softmax(logit, axis=1)
+
+    @classmethod
+    def log_normal(cls, x, mu, log_sd):
+        """log-pdf of a normal distribution (`vitrainer.py:268-282`)."""
+        log_pdf = (-0.5 * np.log(2 * np.pi) - log_sd -
+                   (x - mu) ** 2 / (2 * jnp.exp(log_sd) ** 2))
+        return jnp.sum(log_pdf, axis=-1)
+
+    @classmethod
+    def log_unit_normal(cls, x):
+        """log-pdf of a unit normal (`vitrainer.py:284-290`)."""
+        log_pdf = -0.5 * (np.log(2 * np.pi) + x ** 2)
+        return jnp.sum(log_pdf, axis=-1)
+
+    # ------------------------------------------------------------ engine
+    def forward_compute_elbo_fn(self, params, x, y, key, num_iter,
+                                train: bool):
+        """Pure jittable ELBO computation; subclasses implement."""
+        raise NotImplementedError
+
+    def _build_epoch_fns(self):
+        tx = self.tx
+        has_y = self.y_train is not None
+        N = int(self.X_train.shape[0])
+        bs = min(self.batch_size, N)
+        nb = max(N // bs, 1)
+        X, y = self.X_train, self.y_train
+
+        def train_epoch(params, opt_state, key, num_iter0):
+            kperm, kbase = jax.random.split(key)
+            perm = jax.random.permutation(kperm, N)[:nb * bs]
+            perm = perm.reshape(nb, bs)
+
+            def body(carry, i):
+                params, opt_state, elbo_sum = carry
+                idx = perm[i]
+                x_i = X[idx]
+                y_i = y[idx] if has_y else None
+                k_i = jax.random.fold_in(kbase, i)
+
+                def loss_fn(p):
+                    elbo = self.forward_compute_elbo_fn(
+                        p, x_i, y_i, k_i, num_iter0 + i, True)
+                    return -elbo, elbo
+
+                (_, elbo), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, elbo_sum + elbo), None
+
+            (params, opt_state, elbo_sum), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0)), jnp.arange(nb))
+            return params, opt_state, elbo_sum / nb
+
+        def eval_epoch(params, key, num_iter0):
+            if self.X_test is None:
+                return jnp.float32(0)
+            Xt, yt = self.X_test, self.y_test
+            Nt = int(Xt.shape[0])
+            bst = min(bs, Nt)
+            nbt = max(Nt // bst, 1)
+
+            def body(elbo_sum, i):
+                x_i = jax.lax.dynamic_slice_in_dim(Xt, i * bst, bst)
+                y_i = jax.lax.dynamic_slice_in_dim(yt, i * bst, bst) \
+                    if yt is not None else None
+                k_i = jax.random.fold_in(key, i)
+                elbo = self.forward_compute_elbo_fn(
+                    params, x_i, y_i, k_i, num_iter0, False)
+                return elbo_sum + elbo, None
+
+            elbo_sum, _ = jax.lax.scan(body, jnp.float32(0),
+                                       jnp.arange(nbt))
+            return elbo_sum / nbt
+
+        return jax.jit(train_epoch), jax.jit(eval_epoch)
+
+    def train_epoch(self) -> float:
+        """Trains one epoch in a single jitted dispatch
+        (reference `vitrainer.py:292-318`)."""
+        if self._train_epoch_fn is None:
+            self._train_epoch_fn, self._eval_epoch_fn = \
+                self._build_epoch_fns()
+        self.params, self.opt_state, elbo = self._train_epoch_fn(
+            self.params, self.opt_state, self.keys.next(),
+            jnp.int32(self.num_iter))
+        N = int(self.X_train.shape[0])
+        self.num_iter += max(N // min(self.batch_size, N), 1)
+        return float(elbo)
+
+    def evaluate_model(self) -> float:
+        """Evaluates on test data (reference `vitrainer.py:320-345`)."""
+        if self._eval_epoch_fn is None:
+            self._train_epoch_fn, self._eval_epoch_fn = \
+                self._build_epoch_fns()
+        return float(self._eval_epoch_fn(self.params, self.keys.next(),
+                                         jnp.int32(self.num_iter)))
+
+    def print_statistics(self, e: int) -> None:
+        """Per-epoch statistics (reference `vitrainer.py:347-359`)."""
+        if self.X_test is not None:
+            template = ("Epoch: {}/{}, Training loss: {:.4f}, "
+                        "Test loss: {:.4f}")
+            print(template.format(
+                e + 1, self.training_cycles,
+                -self.loss_history["train_loss"][-1],
+                -self.loss_history["test_loss"][-1]))
+        else:
+            template = "Epoch: {}/{}, Training loss: {:.4f}"
+            print(template.format(e + 1, self.training_cycles,
+                                  -self.loss_history["train_loss"][-1]))
+
+    # --------------------------------------------------------- serialize
+    def save_model(self, *args: str) -> str:
+        """Self-describing save (reference `vitrainer.py:361-372`)."""
+        savepath = args[0] if args else self.filename
+        meta = {k: v for k, v in self.metadict.items()
+                if k not in ("encoder", "decoder", "optimizer")}
+        arrays = {"params": self.params}
+        return save_checkpoint(savepath, meta, arrays)
+
+    def save_weights(self, *args: str) -> str:
+        savepath = args[0] if args else (self.filename + "weights")
+        return save_checkpoint(savepath, {"model_type": "weights"},
+                               {"params": self.params})
+
+    def load_weights(self, filepath: str) -> None:
+        """Loads saved weights (reference `vitrainer.py:385-396`)."""
+        _, arrays = load_checkpoint(filepath)
+        self.params = arrays["params"]
+
+    def load_weights_from_arrays(self, arrays) -> None:
+        self.params = arrays["params"]

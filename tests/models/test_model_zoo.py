@@ -1,0 +1,87 @@
+"""ImSpec / Regressor / Classifier / Denoiser model tests."""
+
+import numpy as np
+import pytest
+
+from atomai_tpu.models import (ImSpec, Regressor, Classifier,
+                               DenoisingAutoencoder, load_model)
+
+
+@pytest.fixture(scope="module")
+def imspec_data():
+    rng = np.random.RandomState(0)
+    X = rng.rand(48, 16, 16).astype(np.float32)
+    y = rng.rand(48, 10).astype(np.float32)
+    return X, y
+
+
+def test_imspec_fit_predict(imspec_data, tmp_path):
+    X, y = imspec_data
+    m = ImSpec((16, 16), (10,), latent_dim=4, nbfilters_encoder=8,
+               nbfilters_decoder=8)
+    m.fit(X, y, training_cycles=3, batch_size=16, print_loss=3,
+          filename=str(tmp_path / "m"))
+    pred = m.predict(X[:4], verbose=False)
+    assert pred.shape == (4, 10)
+
+
+def test_imspec_spec2im(tmp_path):
+    rng = np.random.RandomState(1)
+    X = rng.rand(48, 10).astype(np.float32)
+    y = rng.rand(48, 16, 16).astype(np.float32)
+    m = ImSpec((10,), (16, 16), latent_dim=4, nbfilters_encoder=8,
+               nbfilters_decoder=8)
+    m.fit(X, y, training_cycles=2, batch_size=16, print_loss=2,
+          filename=str(tmp_path / "m2"))
+    pred = m.predict(X[:4], verbose=False)
+    assert pred.shape == (4, 16, 16)
+
+
+def test_imspec_save_load(imspec_data, tmp_path):
+    X, y = imspec_data
+    m = ImSpec((16, 16), (10,), latent_dim=4, nbfilters_encoder=8,
+               nbfilters_decoder=8)
+    m.fit(X, y, training_cycles=2, batch_size=16, print_loss=2,
+          filename=str(tmp_path / "m3"))
+    path = m.save_model(str(tmp_path / "saved_imspec"))
+    m2 = load_model(path)
+    pred = m2.predict(X[:2], verbose=False)
+    assert pred.shape == (2, 10)
+
+
+def test_regressor(tmp_path):
+    rng = np.random.RandomState(2)
+    X = rng.rand(48, 16, 16).astype(np.float32)
+    y = (X.mean(axis=(1, 2), keepdims=False)[:, None] *
+         np.ones((1, 2))).astype(np.float32)
+    m = Regressor(out_dim=2, backbone="mobilenet")
+    m.fit(X, y, training_cycles=3, batch_size=16, print_loss=3,
+          filename=str(tmp_path / "reg"))
+    pred = m.predict(X[:4], verbose=False)
+    assert pred.shape == (4, 2)
+
+
+def test_classifier(tmp_path):
+    rng = np.random.RandomState(3)
+    X = rng.rand(48, 16, 16).astype(np.float32)
+    y = rng.randint(0, 3, 48)
+    m = Classifier(nb_classes=3, backbone="mobilenet")
+    m.fit(X, y, training_cycles=3, batch_size=16, print_loss=3,
+          filename=str(tmp_path / "cls"))
+    pred = m.predict(X[:4], verbose=False)
+    assert pred.shape == (4,)
+    assert pred.max() < 3
+
+
+def test_denoiser(tmp_path):
+    rng = np.random.RandomState(4)
+    clean = rng.rand(32, 16, 16).astype(np.float32)
+    noisy = clean + 0.1 * rng.randn(32, 16, 16).astype(np.float32)
+    m = DenoisingAutoencoder(encoder_filters=[4, 8],
+                             decoder_filters=[8, 4],
+                             encoder_layers=[1, 1],
+                             decoder_layers=[1, 1])
+    m.fit(noisy, clean, training_cycles=3, batch_size=8, print_loss=3,
+          filename=str(tmp_path / "den"))
+    out = m.predict(noisy[:2])
+    assert out.shape == (2, 16, 16)
