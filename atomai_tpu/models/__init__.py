@@ -7,8 +7,10 @@ from .regressor import Regressor
 from .classifier import Classifier
 from .denoiser import DenoisingAutoencoder, denoise_images
 from .dgm import BaseVAE, VAE, rVAE, jVAE, jrVAE
+from .dklgp import dklGPR, Reconstructor
 from .loaders import load_model, load_ensemble
 
 __all__ = ["Segmentor", "ImSpec", "Regressor", "Classifier",
            "DenoisingAutoencoder", "denoise_images", "BaseVAE", "VAE",
-           "rVAE", "jVAE", "jrVAE", "load_model", "load_ensemble"]
+           "rVAE", "jVAE", "jrVAE", "dklGPR", "Reconstructor",
+           "load_model", "load_ensemble"]

@@ -1,0 +1,132 @@
+"""dklGPR — deep-kernel-learning GP regression model.
+
+Parity: `atomai/models/dklgp/dklgpr.py:23-241` — fit, fit_ensemble
+(replicated scalar target -> independent GPs, :95-132), posterior
+computation (:134-156), sample_from_posterior, Thompson sampling for
+active learning (:174-192), batched predict (mean, var) (:202-217), embed
+into the learned latent (:219-241).
+"""
+
+import warnings
+from typing import Callable, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...trainers.gptrainer import dklGPTrainer, posterior
+
+
+class dklGPR(dklGPTrainer):
+    """DKL-GPR model.
+
+    Example:
+        >>> dklgp = aoi.models.dklGPR(data_dim, embedim=2)
+        >>> dklgp.fit(X, y, training_cycles=100, lr=1e-2)
+        >>> mean, var = dklgp.predict(X_test)
+        >>> obj, next_idx = dklgp.thompson(X_cand)
+    """
+
+    def __init__(self, indim: int, embedim: int = 2,
+                 shared_embedding_space: bool = True, **kwargs):
+        super().__init__(indim, embedim, shared_embedding_space, **kwargs)
+
+    def fit(self, X, y, training_cycles: int = 1, **kwargs) -> None:
+        """Initializes and trains the DKL-GP model
+        (reference `dklgpr.py:70-93`)."""
+        self.run(X, y, training_cycles, **kwargs)
+
+    def fit_ensemble(self, X, y, training_cycles: int = 1,
+                     n_models: int = 5, **kwargs) -> None:
+        """Ensemble of DKL models on a replicated scalar target
+        (reference `dklgpr.py:95-132`)."""
+        y = np.asarray(y)
+        if y.ndim == 1:
+            y = y[None]
+        if y.shape[0] > 1:
+            raise NotImplementedError(
+                "The ensemble training is currently supported only for "
+                "scalar targets")
+        y = np.repeat(y, n_models, axis=0)
+        if self.correlated_output:
+            warnings.warn(
+                "Replacing a single shared embedding space with {} "
+                "independent ones".format(n_models))
+            self.correlated_output = False
+        self.ensemble = True
+        self.run(X, y, training_cycles, **kwargs)
+
+    # --------------------------------------------------------- posterior
+    def _posteriors(self, Xs, full_cov: bool = False):
+        """Per-output posterior(s) at Xs."""
+        gp = self.gp_params
+        if self.correlated_output:
+            z_train = self._embed_fn(self.fe_params, self.X)
+            z_s = self._embed_fn(self.fe_params, Xs)
+            return jax.vmap(
+                lambda p, yy: posterior(p, z_train, yy, z_s, self.kernel,
+                                        full_cov=full_cov))(gp, self.y)
+
+        def one(fe_i, gp_i, y_i):
+            z_train = self._embed_fn(fe_i, self.X)
+            z_s = self._embed_fn(fe_i, Xs)
+            return posterior(gp_i, z_train, y_i, z_s, self.kernel,
+                             full_cov=full_cov)
+        return jax.vmap(one)(self.fe_params, gp, self.y)
+
+    def sample_from_posterior(self, X, num_samples: int = 1000
+                              ) -> np.ndarray:
+        """Samples from the posterior at X
+        (reference `dklgpr.py:158-172`)."""
+        Xs, _ = self.set_data(X)
+        mean, cov = self._posteriors(Xs, full_cov=True)
+        b, M = mean.shape
+        cov = cov + 1e-6 * jnp.eye(M)[None]
+        L = jnp.linalg.cholesky(cov)
+        eps = jax.random.normal(self.keys.next(), (num_samples, b, M))
+        samples = mean[None] + jnp.einsum("bmn,sbn->sbm", L, eps)
+        return np.asarray(samples)
+
+    def thompson(self, X_cand, scalarize_func: Optional[Callable] = None,
+                 maximize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Thompson sampling for the next measurement point
+        (reference `dklgpr.py:174-192`)."""
+        tsample = self.sample_from_posterior(X_cand, num_samples=1)[0]
+        if tsample.ndim > 1 and scalarize_func is not None:
+            tsample = np.asarray(scalarize_func(tsample))[None]
+        idx = tsample.argmax(-1) if maximize else tsample.argmin(-1)
+        return tsample, idx
+
+    def predict(self, x_new, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched posterior mean/variance
+        (reference `dklgpr.py:202-217`)."""
+        x_new, _ = self.set_data(x_new)
+        batch_size = kwargs.get("batch_size", len(x_new))
+        means, variances = [], []
+        for i in range(0, len(x_new), batch_size):
+            m, v = self._posteriors(x_new[i:i + batch_size])
+            means.append(np.asarray(m))
+            variances.append(np.asarray(v))
+        mean = np.concatenate(means, axis=-1)
+        var = np.concatenate(variances, axis=-1)
+        return mean.squeeze(), var.squeeze()
+
+    def _embed(self, x_new):
+        if self.correlated_output:
+            return self._embed_fn(self.fe_params, x_new)
+        embs = jax.vmap(lambda fe_i: self._embed_fn(fe_i, x_new))(
+            self.fe_params)
+        return jnp.moveaxis(embs, 0, -1)  # (n, embedim, b)
+
+    def embed(self, x_new, **kwargs) -> np.ndarray:
+        """Embeds data into the learned latent space
+        (reference `dklgpr.py:219-241`)."""
+        x_new, _ = self.set_data(x_new)
+        batch_size = kwargs.get("batch_size", len(x_new))
+        out = []
+        for i in range(0, len(x_new), batch_size):
+            out.append(np.asarray(self._embed(x_new[i:i + batch_size])))
+        emb = np.concatenate(out, axis=0)
+        if not self.correlated_output and not self.ensemble:
+            emb = emb.transpose(2, 0, 1)
+        return emb

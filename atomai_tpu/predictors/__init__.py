@@ -2,6 +2,8 @@
 
 from .predictor import (BasePredictor, SegPredictor, ImSpecPredictor,
                         RegPredictor, clsPredictor, Locator)
+from .epredictor import EnsemblePredictor, ensemble_locate
 
 __all__ = ["BasePredictor", "SegPredictor", "ImSpecPredictor",
-           "RegPredictor", "clsPredictor", "Locator"]
+           "RegPredictor", "clsPredictor", "Locator",
+           "EnsemblePredictor", "ensemble_locate"]

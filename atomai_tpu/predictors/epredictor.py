@@ -1,0 +1,214 @@
+"""Ensemble prediction with uncertainty — vmapped over members.
+
+Parity: `atomai/predictors/epredictor.py:21-267` — per-pixel mean+variance
+over ensemble predictions (:121-161), batched prediction (:163-189),
+output-shape inference for image/spectra in/out combos (:81-102), and
+``ensemble_locate`` (coordinates for every ensemble prediction + DBSCAN
+clustering into per-atom position mean/variance, :238-267).
+
+TPU-first redesign: the reference swaps each member's state_dict into one
+skeleton sequentially (`epredictor.py:142-159`). Here member parameters are
+stacked with a leading axis and a single ``jax.vmap``-ed forward computes
+every member's prediction at once; mean/variance reduce on device.
+"""
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.coords import cluster_coord
+from ..utils.preproc import format_image, format_spectra
+from .predictor import BasePredictor, Locator
+
+
+class EnsemblePredictor(BasePredictor):
+    """Prediction with an ensemble of models.
+
+    Example:
+        >>> p = aoi.predictors.EnsemblePredictor(skeleton, ensemble,
+        >>>                                      nb_classes=3)
+        >>> nn_out_mean, nn_out_var = p.predict(expdata)
+    """
+
+    def __init__(self, skeleton, ensemble: Dict[int, Any],
+                 data_type: str = "image", output_type: str = "image",
+                 nb_classes: Optional[int] = None,
+                 in_dim: Optional[Tuple[int, ...]] = None,
+                 out_dim: Optional[Tuple[int, ...]] = None,
+                 batch_stats=None, **kwargs):
+        super().__init__(skeleton, None, batch_stats, **kwargs)
+        if output_type not in ("image", "spectra"):
+            raise TypeError(
+                "Supported output types are 'image' and 'spectra'")
+        inout = [data_type, output_type]
+        inout_d = not all([in_dim, out_dim])
+        if inout in (["image", "spectra"], ["spectra", "image"]) and \
+                inout_d:
+            raise TypeError(
+                "Specify input (in_dim) & output (out_dim) dimensions")
+        self.ensemble = ensemble
+        # stack member params along a leading axis for vmapped forward
+        members = [ensemble[i] for i in sorted(ensemble.keys())]
+        self.params_stack = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *members)
+        self.n_models = len(members)
+        self.data_type = data_type
+        self.output_type = output_type
+        self.nb_classes = nb_classes
+        self.in_dim, self.out_dim = in_dim, out_dim
+        self.logits = kwargs.get("logits", True)
+        self.output_shape = kwargs.get("output_shape")
+        verbose = kwargs.get("verbose", 1)
+        self.everbose = bool(verbose)
+        self.verbose = verbose > 1 if isinstance(verbose, int) else False
+        self._jit_ens_forward = None
+
+    def _set_output_shape(self, data) -> None:
+        """Output-shape inference (reference `epredictor.py:81-102`),
+        channel-last."""
+        n = len(data)
+        if self.data_type == self.output_type == "image":
+            c = self.nb_classes if self.nb_classes else 1
+            out_shape = (n, *data.shape[1:3], c)
+        elif self.data_type == "spectra" and self.output_type == "image":
+            c = self.nb_classes if self.nb_classes else 1
+            out_shape = (n, *self.out_dim, c)
+        elif self.data_type == "image" and self.output_type == "spectra":
+            out_shape = (n, *self.out_dim, 1)
+        elif self.data_type == self.output_type == "spectra":
+            out_shape = (n, data.shape[1], 1)
+        else:
+            raise TypeError("Data not understood")
+        self.output_shape = out_shape
+
+    def preprocess(self, data, norm: bool = True):
+        """(reference `epredictor.py:104-119`)"""
+        data = np.asarray(data)
+        if self.data_type == "image":
+            if data.ndim == 2:
+                data = data[None, ...]
+            data = format_image(data, norm)
+        else:
+            if data.ndim == 1:
+                data = data[None, ...]
+            data = format_spectra(data, norm)
+        return jnp.asarray(data)
+
+    def _make_ens_forward(self):
+        model = self.model
+        nb = self.nb_classes or 0
+        logits = self.logits
+        batch_stats = self.batch_stats
+
+        def member_fwd(params, x):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, x, False)
+            if out.ndim == x.ndim:  # channel dim missing (spectra out)
+                pass
+            if logits:
+                if nb > 1:
+                    out = jax.nn.softmax(out, axis=-1)
+                elif nb == 1:
+                    out = jax.nn.sigmoid(out)
+            else:
+                if nb > 1:
+                    out = jnp.exp(out)
+            return out
+
+        @jax.jit
+        def ens_fwd(params_stack, x):
+            return jax.vmap(member_fwd, in_axes=(0, None))(params_stack, x)
+        return ens_fwd
+
+    def ensemble_forward(self, data, out_shape=None, num_batches: int = 1
+                         ) -> np.ndarray:
+        """All member predictions in one vmapped forward
+        (reference `epredictor.py:134-161`). Returns
+        (n_models, n_samples, ...)."""
+        if self._jit_ens_forward is None:
+            self._jit_ens_forward = self._make_ens_forward()
+        preds = np.asarray(self._jit_ens_forward(self.params_stack,
+                                                 jnp.asarray(data)))
+        if preds.ndim == 3:  # (models, n, length) -> add channel
+            preds = preds[..., None]
+        return preds
+
+    def ensemble_forward_(self, data, out_shape=None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Mean and variance over members (reference
+        `epredictor.py:121-132`)."""
+        eprediction = self.ensemble_forward(data, out_shape)
+        return np.mean(eprediction, axis=0), np.var(eprediction, axis=0)
+
+    def ensemble_batch_predict(self, data, num_batches: int = 10
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch-by-batch ensemble prediction
+        (reference `epredictor.py:163-189`)."""
+        batch_size = len(data) // num_batches
+        if batch_size < 1:
+            num_batches = batch_size = 1
+        prediction_mean = np.zeros(self.output_shape, np.float32)
+        prediction_var = np.zeros(self.output_shape, np.float32)
+        for i in range(num_batches):
+            if self.everbose:
+                print("\rBatch {}/{}".format(i + 1, num_batches), end="")
+            data_i = data[i * batch_size:(i + 1) * batch_size]
+            m, v = self.ensemble_forward_(data_i)
+            prediction_mean[i * batch_size:(i + 1) * batch_size] = m
+            prediction_var[i * batch_size:(i + 1) * batch_size] = v
+        data_i = data[num_batches * batch_size:]
+        if len(data_i) > 0:
+            m, v = self.ensemble_forward_(data_i)
+            prediction_mean[num_batches * batch_size:] = m
+            prediction_var[num_batches * batch_size:] = v
+        return prediction_mean, prediction_var
+
+    def predict(self, data, num_batches: int = 10,
+                format_out: str = "channel_last", norm: bool = True
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Predicts mean and variance (reference
+        `epredictor.py:191-235`)."""
+        if format_out not in ("channel_first", "channel_last"):
+            raise ValueError(
+                "Specify channel_last or channel_first output format")
+        data = self.preprocess(data, norm)
+        if self.data_type == "image":
+            data_fwd = data  # NHWC
+        else:
+            data_fwd = data
+        if not self.output_shape:
+            self._set_output_shape(data)
+        mean, var = self.ensemble_batch_predict(data_fwd, num_batches)
+        if format_out == "channel_first":
+            axes = (0, mean.ndim - 1, *range(1, mean.ndim - 1))
+            mean = mean.transpose(axes)
+            var = var.transpose(axes)
+        return mean, var
+
+
+def ensemble_locate(nn_output_ensemble: np.ndarray, **kwargs
+                    ) -> Tuple[Dict, Dict]:
+    """Coordinates for every ensemble prediction + DBSCAN position
+    mean/variance (reference `epredictor.py:238-267`).
+
+    Args:
+        nn_output_ensemble: (n_models, n_images, H, W, C) predictions.
+    """
+    eps = kwargs.get("eps", 0.5)
+    thresh = kwargs.get("threshold", 0.5)
+    coord_mean_all = {}
+    coord_var_all = {}
+    for i in range(nn_output_ensemble.shape[1]):
+        coordinates = {}
+        nn_output = nn_output_ensemble[:, i]
+        for i2, img in enumerate(nn_output):
+            coord = Locator(thresh).run(img[None, ...])
+            coordinates[i2] = coord[0]
+        _, coord_mean, coord_var = cluster_coord(coordinates, eps)
+        coord_mean_all[i] = coord_mean
+        coord_var_all[i] = coord_var
+    return coord_mean_all, coord_var_all

@@ -1,0 +1,379 @@
+"""Deep ensemble training — vmapped over ensemble members.
+
+Parity: `atomai/trainers/etrainer.py:29-513` —
+``train_ensemble_from_scratch`` (N re-inits, per-model batch seed,
+:109-151), ``train_ensemble_from_baseline`` (N short fine-tunes from a
+shared baseline + weight averaging, :153-232), ``train_swag`` (SWAG-like
+weight sampling from running SWA statistics, :234-271 +
+`atomai/utils/nn.py:84-117`), ensemble metadict save (:290-298).
+
+TPU-first redesign (SURVEY.md §2.10): the reference trains members
+SEQUENTIALLY (`etrainer.py:144-151`). Here all members train
+SIMULTANEOUSLY — parameters, optimizer states, batch schedules and PRNG
+keys carry a leading member axis and the per-cycle step is ``jax.vmap``-ed
+over it, inside one ``lax.scan``-over-cycles jitted program. On a multi-chip
+mesh the member axis shards across devices (`atomai_tpu/core/mesh.py`
+MODEL_AXIS).
+"""
+
+import warnings
+from copy import deepcopy as dc
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.checkpoint import save_checkpoint
+from ..losses_metrics import iou_score
+from ..nets import init_fcnn_model, init_imspec_model
+from ..utils import preproc
+from ..utils.nn import sample_weights
+from .trainer import BaseTrainer, _shuffled_batch_schedule
+
+
+def _stack_trees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _unstack_tree(tree, n):
+    return [jax.tree.map(lambda x: x[i], tree) for i in range(n)]
+
+
+class BaseEnsembleTrainer(BaseTrainer):
+    """Base class for deep ensemble training
+    (reference `etrainer.py:29-298`)."""
+
+    def __init__(self, model=None, nb_classes=None, **kwargs):
+        super().__init__(seed=kwargs.get("seed", 1))
+        if model is not None:
+            self.net = model
+            self.nb_classes = nb_classes
+        self.ensemble_state_dict: Dict[int, Any] = {}
+        self.kdict: Dict[str, Any] = {}
+
+    def compile_ensemble_trainer(self, **kwargs) -> None:
+        """Stores compile kwargs (reference `etrainer.py:48-60`)."""
+        self.kdict = kwargs
+        self.full_epoch = self.kdict.get("full_epoch", False)
+        self.batch_size = self.kdict.get("batch_size", 32)
+        self.kdict["overwrite_train_data"] = False
+
+    # ------------------------------------------------------ vmapped core
+    def _vmapped_train(self, n_models: int, cycles: int,
+                       from_params=None, augment_fn=None,
+                       seed_offset: int = 0, swa: bool = False):
+        """Trains n_models members simultaneously; returns list of param
+        pytrees (one per member)."""
+        tx = optax.adam(1e-3) if self.tx is None else self.tx
+        criterion = self.criterion
+        has_bn = self.batch_stats is not None
+        Xb, yb = self.Xb_train, self.yb_train
+        Xb_t, yb_t = self.Xb_test, self.yb_test
+        nb = int(Xb.shape[0])
+
+        # per-member init
+        if from_params is None:
+            keys = jax.random.split(self.keys.next(), n_models)
+            inits = []
+            for i in range(n_models):
+                v = self.net.init({"params": keys[i], "dropout": keys[i]},
+                                  self._example_input(), False)
+                inits.append(dict(v))
+            params_stack = _stack_trees([v["params"] for v in inits])
+            bs_stack = _stack_trees(
+                [v["batch_stats"] for v in inits]) \
+                if "batch_stats" in inits[0] else None
+        else:
+            params_stack = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n_models,) + x.shape),
+                from_params)
+            bs_stack = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n_models,) + x.shape),
+                self.batch_stats) if has_bn else None
+
+        opt_stack = jax.vmap(tx.init)(params_stack)
+
+        # per-member batch schedules (reference per-model batch seeds,
+        # `etrainer.py:144-146, 222-224`)
+        sched = np.stack([
+            _shuffled_batch_schedule(nb, cycles, i + seed_offset)
+            for i in range(n_models)])  # (n_models, cycles)
+        sched = jnp.asarray(sched)
+        mkeys = jax.random.split(self.keys.next(), n_models)
+
+        swa_cycles = min(30, cycles)
+        swa_start = cycles - swa_cycles
+
+        def member_step(params, batch_stats, opt_state, swa_sum, swa_sq,
+                        bi, key, e):
+            X = Xb[bi]
+            y = yb[bi]
+            k_aug, k_drop = jax.random.split(key)
+            if augment_fn is not None:
+                X, y = augment_fn(k_aug, X, y)
+
+            def loss_fn(p):
+                variables = {"params": p}
+                if has_bn:
+                    variables["batch_stats"] = batch_stats
+                    out, mut = self.net.apply(
+                        variables, X, True, mutable=["batch_stats"],
+                        rngs={"dropout": k_drop})
+                    return criterion(out, y), mut["batch_stats"]
+                out = self.net.apply(variables, X, True,
+                                     rngs={"dropout": k_drop})
+                return criterion(out, y), batch_stats
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if swa:
+                upd = (e >= swa_start).astype(jnp.float32)
+                swa_sum = jax.tree.map(
+                    lambda s, p: s + upd * p, swa_sum, params)
+                swa_sq = jax.tree.map(
+                    lambda s, p: s + upd * p * p, swa_sq, params)
+            return params, new_bs, opt_state, swa_sum, swa_sq, loss
+
+        vstep = jax.vmap(member_step,
+                         in_axes=(0, 0 if has_bn else None, 0, 0, 0, 0,
+                                  0, None))
+
+        zeros = jax.tree.map(jnp.zeros_like, params_stack)
+
+        @jax.jit
+        def run_all(params_stack, bs_stack, opt_stack):
+            def cycle(carry, xs):
+                params_stack, bs_stack, opt_stack, swa_sum, swa_sq = carry
+                e, bis = xs
+                keys_e = jax.vmap(
+                    lambda k: jax.random.fold_in(k, e))(mkeys)
+                params_stack, bs_stack, opt_stack, swa_sum, swa_sq, \
+                    losses = vstep(params_stack, bs_stack, opt_stack,
+                                   swa_sum, swa_sq, bis, keys_e, e)
+                return ((params_stack, bs_stack, opt_stack, swa_sum,
+                         swa_sq), losses)
+
+            (params_stack, bs_stack, opt_stack, swa_sum, swa_sq), losses \
+                = jax.lax.scan(
+                    cycle,
+                    (params_stack, bs_stack, opt_stack, zeros,
+                     jax.tree.map(jnp.zeros_like, params_stack)),
+                    (jnp.arange(cycles), sched.T))
+            if swa:
+                params_stack = jax.tree.map(
+                    lambda s: s / swa_cycles, swa_sum)
+            return params_stack, bs_stack, losses
+
+        params_stack, bs_stack, losses = run_all(params_stack, bs_stack,
+                                                 opt_stack)
+        self.loss_acc["train_loss"].extend(
+            np.asarray(losses).mean(axis=1).tolist())
+        return params_stack, bs_stack
+
+    # -------------------------------------------------------- strategies
+    def train_baseline(self, X_train, y_train, X_test=None, y_test=None,
+                       seed: int = 1, augment_fn=None):
+        """Trains a single baseline model (reference
+        `etrainer.py:62-107`)."""
+        if self.net is None:
+            raise AssertionError("You need to set a model first")
+        self._reset_rng(seed)
+        self._reset_training_history()
+        self.tx = None
+        self.opt_state = None
+        self.params = None
+        self.compile_trainer((X_train, y_train, X_test, y_test),
+                             **self.kdict)
+        self.data_augmentation(augment_fn)
+        self.fit()
+        return self.net
+
+    def train_ensemble_from_scratch(self, X_train, y_train, X_test=None,
+                                    y_test=None, n_models: int = 10,
+                                    augment_fn=None, **kwargs):
+        """All members train simultaneously from distinct inits
+        (reference sequential loop `etrainer.py:109-151`)."""
+        self.update_training_parameters(kwargs)
+        print("Training ensemble models (strategy = 'from_scratch')")
+        self._prepare(X_train, y_train, X_test, y_test)
+        cycles = self.kdict.get("training_cycles", 1000)
+        params_stack, bs_stack = self._vmapped_train(
+            n_models, cycles, from_params=None, augment_fn=augment_fn,
+            seed_offset=0, swa=self.kdict.get("swa", False))
+        members = _unstack_tree(params_stack, n_models)
+        self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
+        if bs_stack is not None:
+            self.batch_stats = jax.tree.map(lambda x: x[-1], bs_stack)
+        self.params = members[-1]
+        self.save_ensemble_metadict()
+        return self.net, self.ensemble_state_dict
+
+    def train_ensemble_from_baseline(self, X_train, y_train, X_test=None,
+                                     y_test=None, basemodel=None,
+                                     n_models: int = 10,
+                                     training_cycles_base: int = 1000,
+                                     training_cycles_ensemble: int = 100,
+                                     augment_fn=None, **kwargs):
+        """Baseline training then simultaneous short fine-tunes
+        (reference `etrainer.py:153-232`)."""
+        self.update_training_parameters(kwargs)
+        if basemodel is None:
+            self.kdict["training_cycles"] = training_cycles_base
+            print("Training baseline model...")
+            self.train_baseline(X_train, y_train, X_test, y_test, 1,
+                                augment_fn)
+            baseline_params = self.params
+        else:
+            baseline_params = basemodel.params if hasattr(
+                basemodel, "params") else basemodel
+            self._prepare(X_train, y_train, X_test, y_test)
+            self._maybe_init_model()
+        print("\nTraining ensemble models (strategy = 'from_baseline')")
+        self.kdict["training_cycles"] = training_cycles_ensemble
+        params_stack, bs_stack = self._vmapped_train(
+            n_models, training_cycles_ensemble,
+            from_params=baseline_params, augment_fn=augment_fn,
+            seed_offset=2, swa=self.kdict.get("swa", False))
+        members = _unstack_tree(params_stack, n_models)
+        self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
+        # final model carries the ensemble-averaged weights
+        self.params = jax.tree.map(lambda x: jnp.mean(x, axis=0),
+                                   params_stack)
+        if bs_stack is not None:
+            self.batch_stats = jax.tree.map(lambda x: x[-1], bs_stack)
+        self.save_ensemble_metadict()
+        return self.net, self.ensemble_state_dict
+
+    def train_swag(self, X_train, y_train, X_test=None, y_test=None,
+                   n_models: int = 10, augment_fn=None, **kwargs):
+        """SWAG-like weight sampling from SWA running moments
+        (reference `etrainer.py:234-271`)."""
+        self.update_training_parameters(kwargs)
+        self.kdict["swa"] = True
+        self.train_baseline(X_train, y_train, X_test, y_test, 1,
+                            augment_fn)
+        mean, var = self.running_weights_stats
+        samples = sample_weights(mean, var, self.keys.next(), n_models)
+        self.ensemble_state_dict = {i: s for i, s in enumerate(samples)}
+        self.save_ensemble_metadict()
+        return self.net, self.ensemble_state_dict
+
+    # ------------------------------------------------------------- misc
+    def _prepare(self, X_train, y_train, X_test, y_test):
+        """Stages data + loss + model (without running a fit)."""
+        kd = {k: v for k, v in self.kdict.items()}
+        kd["training_cycles"] = 1
+        self.compile_trainer((X_train, y_train, X_test, y_test), **kd)
+
+    def update_training_parameters(self, kwargs) -> None:
+        """(reference `etrainer.py:273-281`)"""
+        warn_msg = ("Overwriting the initial value '{}' of parameter "
+                    "'{}' with new value '{}'")
+        for k, v in kwargs.items():
+            if k in self.kdict:
+                warnings.warn(warn_msg.format(self.kdict[k], k, v),
+                              UserWarning)
+            self.kdict[k] = v
+
+    def save_ensemble_metadict(self, filename: Optional[str] = None
+                               ) -> str:
+        """Saves ensemble metadict (reference `etrainer.py:283-298`)."""
+        fname = self.filename if filename is None else filename
+        meta = {k: v for k, v in self.meta_state_dict.items()
+                if k not in ("weights", "optimizer")}
+        arrays = {"params": self.params if self.params is not None else {},
+                  "ensemble": {str(k): v for k, v in
+                               self.ensemble_state_dict.items()}}
+        return save_checkpoint(fname + "_ensemble_metadict", meta, arrays)
+
+
+class EnsembleTrainer(BaseEnsembleTrainer):
+    """Deep ensemble trainer (reference `etrainer.py:300-427`).
+
+    Example:
+        >>> etrainer = aoi.trainers.EnsembleTrainer("Unet", nb_classes=3)
+        >>> etrainer.compile_ensemble_trainer(training_cycles=500)
+        >>> smodel, ensemble = etrainer.train_ensemble_from_scratch(
+        >>>     images, labels, images_test, labels_test, n_models=10)
+    """
+
+    def __init__(self, model: Union[str, Any] = None, nb_classes: int = 1,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.nb_classes = nb_classes
+        self.in_dim = self.out_dim = None
+        if isinstance(model, str):
+            if model in ("Unet", "dilnet", "SegResNet", "ResHedNet"):
+                self.net, self.meta_state_dict = init_fcnn_model(
+                    model, self.nb_classes, **kwargs)
+                self._task = "seg"
+            elif model == "imspec":
+                missing = [k for k in ("in_dim", "out_dim", "latent_dim")
+                           if k not in kwargs]
+                if missing:
+                    raise AssertionError(
+                        "Specify input, output, and latent dimensions "
+                        "(Missing dimensions: {})".format(
+                            str(missing)[1:-1]))
+                self.in_dim = kwargs.pop("in_dim")
+                self.out_dim = kwargs.pop("out_dim")
+                latent_dim = kwargs.pop("latent_dim")
+                self.net, self.meta_state_dict = init_imspec_model(
+                    self.in_dim, self.out_dim, latent_dim, **kwargs)
+                self._task = "imspec"
+            else:
+                raise NotImplementedError(
+                    "Pass one of 'Unet', 'dilnet', 'SegResNet', "
+                    "'ResHedNet', 'imspec' or a custom module")
+        else:
+            self.net = model
+            self._task = "custom"
+
+    def accuracy_fn(self, y, y_prob):
+        if self._task == "seg":
+            return iou_score(y, y_prob)
+        raise NotImplementedError
+
+    def set_data(self, X_train, y_train, X_test=None, y_test=None,
+                 **kwargs) -> None:
+        """Task-aware data canonicalization (reference set_data_seg /
+        set_data_imspec, `etrainer.py:430-500`)."""
+        if self._task == "seg":
+            nb_classes = preproc.num_classes_from_labels(
+                np.asarray(y_train))
+            if nb_classes != self.nb_classes:
+                raise AssertionError(
+                    "Number of specified classes is different from the "
+                    "number of classes contained in training data")
+            if X_test is None or y_test is None:
+                X_train, y_train, X_test, y_test = preproc.data_split(
+                    X_train, y_train, kwargs.get("test_size", .15),
+                    kwargs.get("seed", 1))
+            X_train, y_train, X_test, y_test = preproc.check_image_dims(
+                X_train, y_train, X_test, y_test, nb_classes)
+            X_train = np.asarray(X_train, np.float32)
+            X_test = np.asarray(X_test, np.float32)
+            if nb_classes > 1:
+                y_train = np.asarray(y_train, np.int32)
+                y_test = np.asarray(y_test, np.int32)
+            else:
+                y_train = np.asarray(y_train, np.float32)
+                y_test = np.asarray(y_test, np.float32)
+        else:
+            if X_test is None or y_test is None:
+                X_train, y_train, X_test, y_test = preproc.data_split(
+                    X_train, y_train, kwargs.get("test_size", .15),
+                    kwargs.get("seed", 1))
+            if self._task == "imspec":
+                X_train, y_train, X_test, y_test = \
+                    preproc.check_signal_dims(X_train, y_train, X_test,
+                                              y_test)
+            X_train = np.asarray(X_train, np.float32)
+            y_train = np.asarray(y_train, np.float32)
+            X_test = np.asarray(X_test, np.float32)
+            y_test = np.asarray(y_test, np.float32)
+        self._stage_batches(X_train, y_train, X_test, y_test)

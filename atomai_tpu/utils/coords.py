@@ -201,7 +201,11 @@ def cluster_coord(coord_class_dict: Dict[int, np.ndarray], eps: float,
         eps=eps, min_samples=min_samples).fit(coordinates_all[:, :2])
     labels = clustering.labels_
     clusters, clusters_var, clusters_mean = [], [], []
-    for lbl in np.unique(labels)[1:]:
+    # deviation from `coords.py:337`: the reference drops the first unique
+    # label unconditionally (assuming it is the -1 noise label); when no
+    # points are noise that silently discards a real cluster. We exclude
+    # only the actual noise label.
+    for lbl in np.unique(labels[labels >= 0]):
         coord = coordinates_all[np.where(labels == lbl)]
         clusters.append(coord)
         clusters_mean.append(np.mean(coord[:, :2], axis=0))

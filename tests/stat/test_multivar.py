@@ -1,0 +1,103 @@
+"""imlocal / transitions / unmixer tests (reference model:
+`test/stat/test_multivar.py` shape contracts)."""
+
+import numpy as np
+import pytest
+
+from atomai_tpu.stat import (imlocal, SpectralUnmixer, SlidingFFTNMF,
+                             update_classes, calculate_transition_matrix,
+                             sum_transitions)
+from atomai_tpu.utils import make_lattice_stack
+
+
+@pytest.fixture(scope="module")
+def imstack_data():
+    imgs, masks, coords = make_lattice_stack(4, 64, 12, seed=2)
+    nn_out = masks[..., None].astype(np.float32)
+    coord_dict = {i: np.concatenate(
+        [coords[i], np.zeros((len(coords[i]), 1))], -1)
+        for i in range(4)}
+    return imgs, nn_out, coord_dict
+
+
+def test_imlocal_extraction(imstack_data):
+    _, nn_out, coord_dict = imstack_data
+    s = imlocal(nn_out, coord_dict, window_size=8, coord_class=0)
+    assert s.imgstack.ndim == 4
+    assert s.imgstack.shape[1:] == (8, 8, 1)
+    assert len(s.imgstack_com) == len(s.imgstack)
+
+
+def test_imlocal_decompositions(imstack_data):
+    _, nn_out, coord_dict = imstack_data
+    s = imlocal(nn_out, coord_dict, window_size=8, coord_class=0)
+    for meth in (s.pca, s.ica, s.nmf):
+        comps, Xt, cf = meth(3)
+        assert comps.shape == (3, 8, 8, 1)
+        assert Xt.shape == (s.d0, 3)
+        assert cf.shape == (s.d0, 3)
+
+
+def test_imlocal_imblock(imstack_data):
+    _, nn_out, coord_dict = imstack_data
+    s = imlocal(nn_out, coord_dict, window_size=8, coord_class=0)
+    comps, Xt, xy = s.imblock_pca(2)
+    assert xy.shape == (s.d0, 2)
+
+
+def test_imlocal_gmm_and_transitions(imstack_data):
+    _, nn_out, coord_dict = imstack_data
+    s = imlocal(nn_out, coord_dict, window_size=8, coord_class=0)
+    cla, cl_all, com_frames = s.gmm(2)
+    assert com_frames.shape[1] == 4  # x, y, class, frame
+    tm = s.transition_matrix(2, rmax=5, sum_all_transitions=True)
+    assert "transitions" in tm and "all_transitions" in tm
+    for m in tm["transitions"]:
+        rows = m.sum(axis=1)
+        valid = rows[rows > 0]
+        np.testing.assert_allclose(valid, 1.0, atol=1e-6)
+
+
+def test_calculate_transition_matrix():
+    trace = [0, 0, 1, 1, 0]
+    M = calculate_transition_matrix(trace)
+    assert M.shape == (2, 2)
+    np.testing.assert_allclose(M[0], [0.5, 0.5])
+    np.testing.assert_allclose(M[1], [0.5, 0.5])
+
+
+def test_spectral_unmixer_methods():
+    rng = np.random.RandomState(0)
+    # cube with two distinct spectral signatures
+    s1 = np.exp(-((np.arange(32) - 8) ** 2) / 10.0)
+    s2 = np.exp(-((np.arange(32) - 22) ** 2) / 10.0)
+    cube = np.zeros((8, 8, 32), np.float32)
+    cube[:4] = s1 + 0.01 * rng.rand(4, 8, 32)
+    cube[4:] = s2 + 0.01 * rng.rand(4, 8, 32)
+    for method in ("nmf", "pca", "ica", "gmm"):
+        um = SpectralUnmixer(method, n_components=2)
+        c, a = um.fit(cube)
+        assert c.shape == (2, 32)
+        assert a.shape == (8, 8, 2)
+
+
+def test_sliding_fft_nmf(imstack_data):
+    imgs, _, _ = imstack_data
+    an = SlidingFFTNMF(window_size_x=16, window_size_y=16, components=2)
+    comps, ab = an.analyze_image(imgs[0], output_path="/tmp/aoi_fftnmf")
+    assert comps.shape[0] == 2
+    assert ab.shape[0] == 2
+
+
+def test_update_classes_threshold(imstack_data):
+    imgs, _, coord_dict = imstack_data
+    upd = update_classes(coord_dict, imgs, method="threshold",
+                         thresh=0.3)
+    assert set(np.unique(upd[0][:, -1])) <= {0.0, 1.0}
+
+
+def test_update_classes_kmeans(imstack_data):
+    imgs, _, coord_dict = imstack_data
+    upd = update_classes(coord_dict, imgs, method="kmeans",
+                         n_components=2)
+    assert len(np.unique(upd[0][:, -1])) <= 2

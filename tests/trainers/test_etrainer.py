@@ -1,0 +1,107 @@
+"""Ensemble trainer/predictor tests (reference model:
+`test/trainers/test_etrainer.py`)."""
+
+import jax
+import numpy as np
+import pytest
+
+from atomai_tpu.predictors import EnsemblePredictor, ensemble_locate
+from atomai_tpu.trainers import EnsembleTrainer
+
+
+@pytest.fixture(scope="module")
+def seg_data():
+    # enough images that the train split yields multiple batches — the
+    # from_baseline strategy differentiates members only through batch
+    # order (reference parity, `etrainer.py:217-224`)
+    from atomai_tpu.utils import make_lattice_stack
+    imgs, masks, _ = make_lattice_stack(n_images=16, size=32, spacing=10,
+                                        seed=1)
+    return imgs, masks
+
+
+def _leaves_differ(p1, p2):
+    l1, l2 = jax.tree.leaves(p1), jax.tree.leaves(p2)
+    return any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2))
+
+
+def test_from_scratch_members_differ(seg_data, tmp_path):
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=8, batch_size=4,
+                                filename=str(tmp_path / "e"))
+    _, ensemble = et.train_ensemble_from_scratch(imgs, masks, n_models=3)
+    assert len(ensemble) == 3
+    assert _leaves_differ(ensemble[0], ensemble[1])
+    assert _leaves_differ(ensemble[1], ensemble[2])
+
+
+def test_from_baseline(seg_data, tmp_path):
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=6, batch_size=4,
+                                print_loss=6,
+                                filename=str(tmp_path / "eb"))
+    _, ensemble = et.train_ensemble_from_baseline(
+        imgs, masks, n_models=3, training_cycles_base=6,
+        training_cycles_ensemble=4)
+    assert len(ensemble) == 3
+    assert _leaves_differ(ensemble[0], ensemble[1])
+
+
+def test_swag(seg_data, tmp_path):
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=6, batch_size=4,
+                                print_loss=6,
+                                filename=str(tmp_path / "es"))
+    _, ensemble = et.train_swag(imgs, masks, n_models=4)
+    assert len(ensemble) == 4
+    assert _leaves_differ(ensemble[0], ensemble[1])
+
+
+def test_ensemble_predictor(seg_data, tmp_path):
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=6, batch_size=4,
+                                filename=str(tmp_path / "ep"))
+    _, ensemble = et.train_ensemble_from_scratch(imgs, masks, n_models=3)
+    p = EnsemblePredictor(et.net, ensemble, nb_classes=1,
+                          batch_stats=et.batch_stats, verbose=0)
+    mean, var = p.predict(imgs[:2], num_batches=1)
+    assert mean.shape == (2, 32, 32, 1)
+    assert var.shape == (2, 32, 32, 1)
+    assert (np.asarray(var) >= 0).all()
+    # variance must be nonzero somewhere (members differ)
+    assert float(np.max(var)) > 0
+
+
+def test_ensemble_locate_format():
+    # synthetic "ensemble" with one blob; needs >= 10 members because
+    # cluster_coord uses DBSCAN(min_samples=10) (reference parity,
+    # `atomai/utils/coords.py:304-347`)
+    pred = np.zeros((12, 1, 32, 32, 1), np.float32)
+    pred[:, :, 10:14, 10:14, 0] = 1.0
+    cm, cv = ensemble_locate(pred, eps=3.0, threshold=0.5)
+    assert 0 in cm
+    assert cm[0].shape == (1, 2)
+    np.testing.assert_allclose(cm[0][0], [11.5, 11.5], atol=0.1)
+
+
+def test_imspec_ensemble(tmp_path):
+    rng = np.random.RandomState(0)
+    X = rng.rand(32, 8, 8).astype(np.float32)
+    y = rng.rand(32, 6).astype(np.float32)
+    et = EnsembleTrainer("imspec", in_dim=(8, 8), out_dim=(6,),
+                         latent_dim=2, nbfilters_encoder=4,
+                         nbfilters_decoder=4)
+    et.compile_ensemble_trainer(training_cycles=4, batch_size=8,
+                                loss="mse",
+                                filename=str(tmp_path / "ei"))
+    _, ensemble = et.train_ensemble_from_scratch(X, y, n_models=2)
+    assert len(ensemble) == 2

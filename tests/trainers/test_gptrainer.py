@@ -1,0 +1,105 @@
+"""GP/DKL trainer tests (reference model:
+`test/trainers/test_gptrainer.py:35-43` — hyperparameters must move;
+`test/models/test_dklgpr.py:12-58` — posterior shapes)."""
+
+import jax
+import numpy as np
+import pytest
+
+from atomai_tpu.models import dklGPR, Reconstructor
+from atomai_tpu.trainers import GPTrainer
+
+
+@pytest.fixture(scope="module")
+def gp_data():
+    rng = np.random.RandomState(0)
+    X = rng.randn(100, 8).astype(np.float32)
+    w = rng.randn(8)
+    y = (X @ w + 0.05 * rng.randn(100)).astype(np.float32)
+    return X, y
+
+
+def test_gp_hyperparams_move(gp_data):
+    X, y = gp_data
+    t = GPTrainer()
+    t.compile_trainer(X[:, :2], y, training_cycles=3)
+    before = {k: np.asarray(v).copy() for k, v in t.gp_params.items()}
+    t.train_step()
+    after = t.gp_params
+    moved = any(not np.allclose(before[k], np.asarray(after[k]))
+                for k in before)
+    assert moved
+
+
+def test_gp_loss_decreases(gp_data):
+    X, y = gp_data
+    t = GPTrainer()
+    t.run(X[:, :2], y, training_cycles=30, print_loss=30)
+    assert t.train_loss[-1] < t.train_loss[0]
+
+
+def test_dkl_shared_predict_shapes(gp_data):
+    X, y = gp_data
+    m = dklGPR(8, embedim=2)
+    m.fit(X, y, training_cycles=5, print_loss=5)
+    mean, var = m.predict(X[:20])
+    assert mean.shape == (20,)
+    assert var.shape == (20,)
+    assert (var > 0).all()
+
+
+def test_dkl_multiout(gp_data):
+    X, y = gp_data
+    Y = np.stack([y, -y])
+    m = dklGPR(8, embedim=2)
+    m.fit(X, Y, training_cycles=3, print_loss=3)
+    mean, var = m.predict(X[:10])
+    assert mean.shape == (2, 10)
+
+
+def test_dkl_independent_outputs(gp_data):
+    X, y = gp_data
+    Y = np.stack([y, -y, 2 * y])
+    m = dklGPR(8, embedim=2, shared_embedding_space=False)
+    m.fit(X, Y, training_cycles=3, print_loss=3)
+    mean, var = m.predict(X[:10])
+    assert mean.shape == (3, 10)
+
+
+def test_dkl_ensemble(gp_data):
+    X, y = gp_data
+    m = dklGPR(8, embedim=2)
+    with pytest.warns(UserWarning):
+        m.fit_ensemble(X, y, training_cycles=3, n_models=3, print_loss=3)
+    mean, var = m.predict(X[:10])
+    assert mean.shape == (3, 10)
+
+
+def test_dkl_thompson_and_sampling(gp_data):
+    X, y = gp_data
+    m = dklGPR(8, embedim=2)
+    m.fit(X, y, training_cycles=3, print_loss=3)
+    samples = m.sample_from_posterior(X[:15], num_samples=50)
+    assert samples.shape == (50, 1, 15)
+    obj, idx = m.thompson(X[:15])
+    assert 0 <= int(idx[0]) < 15
+
+
+def test_dkl_embed(gp_data):
+    X, y = gp_data
+    m = dklGPR(8, embedim=3)
+    m.fit(X, y, training_cycles=2, print_loss=2)
+    emb = m.embed(X[:10])
+    assert emb.shape == (10, 3)
+    assert np.abs(emb).max() <= 1.0 + 1e-5  # scale_to_bounds
+
+
+def test_reconstructor():
+    rng = np.random.RandomState(1)
+    yy, xx = np.mgrid[:20, :20]
+    true = np.sin(yy / 3.0) * np.cos(xx / 3.0)
+    img = np.where(rng.rand(20, 20) > 0.5, true, 0.0).astype(np.float32)
+    rec = Reconstructor()
+    out = rec.reconstruct(img, training_cycles=100, print_loss=100)
+    assert out.shape == (20, 20)
+    assert np.abs(out - true).mean() < 0.15
