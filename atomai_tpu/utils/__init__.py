@@ -25,6 +25,11 @@ from .imgen import (MakeAtom, create_lattice_mask,
                     make_lattice_stack)
 from . import viz
 from .viz import plot_losses, plot_coord, draw_boxes
+from . import graphx
+from .graphx import (Graph, Node, get_interatomic_r, find_cycles,
+                     find_cycle_clusters, filter_subgraphs, plot_graph)
+from .aseutils import ase_obj_basic, ase_obj_adv
+from . import datasets
 
 __all__ = [
     "num_classes_from_labels", "check_image_dims", "check_signal_dims",
@@ -45,5 +50,8 @@ __all__ = [
     "num_params", "combine_classes", "renumerate_classes", "MakeAtom",
     "create_lattice_mask", "create_multiclass_lattice_mask",
     "create_atom_mask_pair", "make_lattice_stack", "viz", "plot_losses",
-    "plot_coord", "draw_boxes",
+    "plot_coord", "draw_boxes", "graphx", "Graph", "Node",
+    "get_interatomic_r", "find_cycles", "find_cycle_clusters",
+    "filter_subgraphs", "plot_graph", "ase_obj_basic", "ase_obj_adv",
+    "datasets",
 ]

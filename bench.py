@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line.
+
+Primary metric (BASELINE.json): Segmentor 512^2-equivalent images/sec for
+train+predict on config A — Segmentor UNet nb_classes=1, 300-cycle fit +
+predict on a 64 x 256 x 256 synthetic graphene lattice stack.
+
+Method:
+- synthetic stack via atomai_tpu.utils.make_lattice_stack (same generator
+  used to measure the reference).
+- fit runs twice: the first run pays one-time XLA compilation, the second
+  identical run is timed (steady-state; the reference has no compile
+  phase).
+- predict timed on the full 64-image stack (probability maps only).
+- images/sec normalizes work to 512^2-pixel image equivalents:
+  one 256^2 image = 1/4 of a 512^2 image.
+- vs_baseline compares against the reference (pycroscopy/atomai v0.8.1,
+  PyTorch CPU) measured in this container on the identical config/data
+  (per-cycle train cost extrapolated from 12 cycles; per-image predict
+  cost from 16 images) — see REF_* constants below.
+"""
+
+import json
+import time
+
+import numpy as np
+
+CYCLES = 300
+BATCH = 32
+N_IMG = 64
+SIZE = 256
+EQ = (SIZE / 512.0) ** 2  # 512^2-image equivalents per 256^2 image
+
+# Reference PyTorch-CPU measurements (this container, 2026-08-16):
+# 12 training cycles (batch 32, 256^2, Unet nb_filters=16) took 582.4 s
+# (48.536 s/cycle); predicting 16 x 256^2 images took 2.463 s
+# (0.1539 s/img). Measured against /root/reference with minimal import
+# shims (skimage/gpytorch/torchvision stubs). See BASELINE.md.
+REF_SEC_PER_CYCLE = 48.536
+REF_SEC_PER_PRED_IMG = 0.1539
+
+
+def main():
+    import atomai_tpu as aoi
+
+    imgs, masks, _ = aoi.utils.make_lattice_stack(
+        n_images=N_IMG, size=SIZE, spacing=16, seed=0)
+
+    def build():
+        return aoi.models.Segmentor("Unet", nb_classes=1)
+
+    # --- warmup run (pays compilation) -------------------------------
+    m = build()
+    m.fit(imgs, masks, training_cycles=CYCLES, batch_size=BATCH,
+          print_loss=CYCLES, filename="/tmp/bench_model_warm")
+
+    # --- timed run (steady state) ------------------------------------
+    m2 = build()
+    # reuse staged data + compiled chunk shapes
+    t0 = time.time()
+    m2.fit(imgs, masks, training_cycles=CYCLES, batch_size=BATCH,
+           print_loss=CYCLES, filename="/tmp/bench_model")
+    t_train = time.time() - t0
+
+    # predict warmup (compile) then timed
+    _ = m2.predict(imgs[:2], compute_coords=False, verbose=False,
+                   num_batches=1)
+    t0 = time.time()
+    out = m2.predict(imgs, compute_coords=False, verbose=False,
+                     num_batches=8)
+    t_pred = time.time() - t0
+    assert out.shape == (N_IMG, SIZE, SIZE, 1)
+
+    train_imgs_eq = CYCLES * BATCH * EQ
+    pred_imgs_eq = N_IMG * EQ
+    ours = (train_imgs_eq + pred_imgs_eq) / (t_train + t_pred)
+
+    ref_train = CYCLES * REF_SEC_PER_CYCLE
+    ref_pred = N_IMG * REF_SEC_PER_PRED_IMG
+    ref = (train_imgs_eq + pred_imgs_eq) / (ref_train + ref_pred)
+
+    print(json.dumps({
+        "metric": "segmentor_512eq_images_per_sec_train_predict",
+        "value": round(ours, 3),
+        "unit": "images/s",
+        "vs_baseline": round(ours / ref, 2),
+        "detail": {
+            "train_s": round(t_train, 3),
+            "predict_s": round(t_pred, 3),
+            "config": f"Unet nb_classes=1, {CYCLES} cycles, batch "
+                      f"{BATCH}, {N_IMG}x{SIZE}x{SIZE} stack",
+            "reference_images_per_sec": round(ref, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
