@@ -20,6 +20,10 @@ Public API mirrors the reference package layout
 """
 
 from . import core
+from .core.dtypes import enable_fast_matmul
+
+enable_fast_matmul()
+
 from . import utils
 from . import nets
 from . import losses_metrics

@@ -40,3 +40,19 @@ def default_precision() -> Precision:
 def set_default_precision(p: Precision) -> None:
     global _DEFAULT
     _DEFAULT = p
+
+
+def enable_fast_matmul() -> None:
+    """Routes f32 matmuls/convs through single-pass bf16 MXU execution
+    (f32 accumulation) — the standard TPU training precision. Parameters
+    and optimizer state stay float32. Opt out with
+    ``ATOMAI_TPU_PRECISION=float32``. Numerically sensitive paths (GP
+    kernel distances, Cholesky inputs) pin ``precision=HIGHEST``
+    explicitly and are unaffected."""
+    import os
+
+    import jax
+    if os.environ.get("ATOMAI_TPU_PRECISION", "").lower() in (
+            "float32", "f32", "highest"):
+        return
+    jax.config.update("jax_default_matmul_precision", "bfloat16")

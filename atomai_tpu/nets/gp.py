@@ -67,12 +67,14 @@ def constrain(raw, lower=None, upper=None):
 
 def sq_dist(x1, x2, lengthscale):
     """Scaled squared distance: ||x1/l - x2/l||^2, shapes (..., n, d),
-    (..., m, d) -> (..., n, m)."""
+    (..., m, d) -> (..., n, m). Pinned to HIGHEST matmul precision —
+    kernel matrices feed Cholesky factorizations."""
     x1 = x1 / lengthscale
     x2 = x2 / lengthscale
     x1n = jnp.sum(x1 * x1, axis=-1, keepdims=True)
     x2n = jnp.sum(x2 * x2, axis=-1, keepdims=True)
-    cross = jnp.einsum("...nd,...md->...nm", x1, x2)
+    cross = jnp.einsum("...nd,...md->...nm", x1, x2,
+                       precision=jax.lax.Precision.HIGHEST)
     d2 = x1n - 2.0 * cross + jnp.swapaxes(x2n, -1, -2)
     return jnp.maximum(d2, 0.0)
 

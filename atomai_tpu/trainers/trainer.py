@@ -527,16 +527,57 @@ class BaseTrainer:
                 np.around(self.loss_acc["test_accuracy"][-1], 4))
         print(msg)
 
-    def save_model(self, *args: str) -> str:
+    def save_model(self, *args: str,
+                   include_optimizer: bool = False) -> str:
         """Self-describing checkpoint save (reference `trainer.py:344-358`
-        via core.checkpoint)."""
+        via core.checkpoint). With ``include_optimizer=True`` the optimizer
+        state and step counter are stored too, enabling step-level resume
+        (absent in the reference — SURVEY.md §5)."""
         filename = args[0] if args else self.filename
         meta = {k: v for k, v in self.meta_state_dict.items()
                 if k not in ("weights", "optimizer")}
         arrays = {"params": self.params}
         if self.batch_stats is not None:
             arrays["batch_stats"] = self.batch_stats
+        if include_optimizer and self.opt_state is not None:
+            from flax import serialization
+            arrays["opt_state"] = serialization.to_state_dict(
+                self.opt_state)
+            meta["completed_cycles"] = len(self.loss_acc["train_loss"])
         return save_checkpoint(filename, meta, arrays)
+
+    def resume_training(self, filepath: str,
+                        additional_cycles: Optional[int] = None) -> None:
+        """Step-level resume: restores params/batch stats/optimizer state
+        from a checkpoint saved with ``include_optimizer=True`` and
+        continues training for ``additional_cycles`` (default: the
+        originally compiled ``training_cycles``)."""
+        from flax import serialization
+
+        from ..core.checkpoint import load_checkpoint
+        meta, arrays = load_checkpoint(filepath)
+        self._maybe_init_model()
+        self.params = arrays["params"]
+        self.batch_stats = arrays.get("batch_stats")
+        if "opt_state" not in arrays:
+            raise ValueError(
+                "Checkpoint has no optimizer state; save with "
+                "save_model(..., include_optimizer=True) to resume")
+        if self.tx is None:
+            raise RuntimeError("Compile the trainer before resuming")
+        self.opt_state = serialization.from_state_dict(
+            self.tx.init(self.params), arrays["opt_state"])
+        if additional_cycles is not None:
+            self.training_cycles = additional_cycles
+            if not self.full_epoch:
+                self.batch_idx_train = _shuffled_batch_schedule(
+                    self.Xb_train.shape[0], additional_cycles,
+                    int(meta.get("completed_cycles", 0)) + 1)
+                self.batch_idx_test = _shuffled_batch_schedule(
+                    self.Xb_test.shape[0], additional_cycles,
+                    int(meta.get("completed_cycles", 0)) + 1)
+            self._compiled_chunk = None
+        self.run()
 
     def select_lr(self, e: int) -> None:  # parity no-op (schedule is baked)
         pass

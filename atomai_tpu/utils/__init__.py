@@ -19,7 +19,8 @@ from .img import (img_resize, cv_resize, cv_resize_stack, cv_rotate,
                   cv_thresh, filter_cells, get_blob_params, load_image)
 from .nn import (average_weights, sample_weights, set_train_rng,
                  weights_init, reset_bnorm, num_params, combine_classes,
-                 renumerate_classes)
+                 renumerate_classes, mock_forward, get_nb_classes,
+                 get_downsample_factor, gpu_usage_map)
 from .imgen import (MakeAtom, create_lattice_mask,
                     create_multiclass_lattice_mask, create_atom_mask_pair,
                     make_lattice_stack)

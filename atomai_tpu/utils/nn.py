@@ -129,3 +129,52 @@ def renumerate_classes(coord_class_dict: Dict[int, np.ndarray],
     """Renumerates classes for a dict of coordinates (`nn.py:304-336`)."""
     return {i: renumerate_classes_(coord, start_from_1)
             for i, coord in coord_class_dict.items()}
+
+
+def mock_forward(net, variables=None, dims: tuple = (32, 32)
+                 ) -> np.ndarray:
+    """Forward pass with dummy input for shape introspection
+    (`nn.py:195-208`). Works with any linen module taking NHWC input."""
+    import jax
+    x = jnp.zeros((1,) + tuple(dims) + (1,), jnp.float32)
+    if variables is None:
+        key = jax.random.key(0)
+        variables = net.init({"params": key, "dropout": key}, x, False)
+    return np.asarray(net.apply(variables, x, False))
+
+
+def get_nb_classes(net, variables=None) -> int:
+    """Number of output classes. Static for built-in nets (``nb_classes``
+    attribute); falls back to a mock forward for custom modules
+    (`nn.py:211-218`)."""
+    nb = getattr(net, "nb_classes", None)
+    if nb is not None:
+        return int(nb)
+    out = mock_forward(net, variables)
+    return int(out.shape[-1])
+
+
+def get_downsample_factor(net, variables=None) -> int:
+    """Total spatial downsampling factor. Static for built-in nets
+    (`atomai_tpu/nets/fcnn.py` DOWNSAMPLE_FACTORS); mock forward for
+    custom modules (`nn.py:221-228`)."""
+    from ..nets.fcnn import DOWNSAMPLE_FACTORS
+    name = type(net).__name__
+    if name in DOWNSAMPLE_FACTORS:
+        return DOWNSAMPLE_FACTORS[name]
+    # probe: smallest power of two whose input reproduces its own size
+    for f in (8, 4, 2, 1):
+        try:
+            out = mock_forward(net, variables, dims=(f * 8, f * 8))
+            if out.shape[1] == f * 8:
+                return f
+        except Exception:
+            continue
+    return 1
+
+
+def gpu_usage_map() -> Dict[str, Any]:
+    """Accelerator memory usage (replaces nvidia-smi polling,
+    `nn.py:120-133`) — see core.profiling.device_memory_stats."""
+    from ..core.profiling import device_memory_stats
+    return device_memory_stats()

@@ -54,20 +54,19 @@ def main():
     m.fit(imgs, masks, training_cycles=CYCLES, batch_size=BATCH,
           print_loss=CYCLES, filename="/tmp/bench_model_warm")
 
-    # --- timed run (steady state) ------------------------------------
-    m2 = build()
-    # reuse staged data + compiled chunk shapes
+    # --- timed run (steady state): rerun the SAME trainer so the
+    # already-compiled scan executable is reused --------------------------
+    m._reset_training_history()
     t0 = time.time()
-    m2.fit(imgs, masks, training_cycles=CYCLES, batch_size=BATCH,
-           print_loss=CYCLES, filename="/tmp/bench_model")
+    m.run()
     t_train = time.time() - t0
 
-    # predict warmup (compile) then timed
-    _ = m2.predict(imgs[:2], compute_coords=False, verbose=False,
-                   num_batches=1)
+    # predict warmup with the same per-batch shape, then timed
+    _ = m.predict(imgs[:N_IMG // 8], compute_coords=False, verbose=False,
+                  num_batches=1)
     t0 = time.time()
-    out = m2.predict(imgs, compute_coords=False, verbose=False,
-                     num_batches=8)
+    out = m.predict(imgs, compute_coords=False, verbose=False,
+                    num_batches=8)
     t_pred = time.time() - t0
     assert out.shape == (N_IMG, SIZE, SIZE, 1)
 
