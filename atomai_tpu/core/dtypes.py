@@ -30,10 +30,29 @@ class Precision:
         return cls()
 
 
-_DEFAULT = Precision.full()
+_DEFAULT = None  # resolved lazily (env + backend)
 
 
 def default_precision() -> Precision:
+    """Global dtype policy.
+
+    Resolution order: explicit ``set_default_precision`` call >
+    ``ATOMAI_TPU_PRECISION`` env (``float32`` | ``mixed``) > automatic
+    (mixed/bf16 activations on TPU backends, float32 elsewhere).
+    """
+    global _DEFAULT
+    if _DEFAULT is not None:
+        return _DEFAULT
+    import os
+    env = os.environ.get("ATOMAI_TPU_PRECISION", "").lower()
+    if env in ("float32", "f32", "highest"):
+        _DEFAULT = Precision.full()
+    elif env in ("mixed", "bf16", "bfloat16"):
+        _DEFAULT = Precision.mixed()
+    else:
+        import jax
+        _DEFAULT = Precision.mixed() \
+            if jax.default_backend() not in ("cpu",) else Precision.full()
     return _DEFAULT
 
 

@@ -95,6 +95,22 @@ def multitask_loss(outputs: Sequence, labels: Sequence,
     return total
 
 
+class MultiTaskLoss:
+    """Class-style multitask loss wrapper (reference `losses.py:92-136`)."""
+
+    def __init__(self, num_tasks: int, loss_fn: Callable = nll_loss,
+                 weights: Optional[Sequence[float]] = None):
+        self.num_tasks = num_tasks
+        self.loss_fn = loss_fn
+        if weights is not None:
+            assert len(weights) == num_tasks, \
+                "The length of weights must match num_tasks"
+        self.weights = weights
+
+    def __call__(self, outputs, labels):
+        return multitask_loss(outputs, labels, self.loss_fn, self.weights)
+
+
 def select_loss(loss: Union[str, Callable], nb_classes: Optional[Any] = None,
                 **kwargs) -> Callable:
     """String -> criterion registry (`losses.py:139-174`).

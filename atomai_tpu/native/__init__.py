@@ -1,0 +1,87 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Built on demand with g++ (cached next to the sources); every consumer has
+a pure-Python fallback, so missing toolchains degrade gracefully.
+"""
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "_graph_rings.so")
+_SRC_PATH = os.path.join(_DIR, "graph_rings.cpp")
+_lib = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    try:
+        if (not os.path.exists(_LIB_PATH) or
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 _SRC_PATH, "-o", _LIB_PATH],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.find_rings_native.restype = ctypes.c_int
+        lib.find_rings_native.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ]
+        lib.free_buffer.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        return lib
+    except Exception:
+        _build_failed = True
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        _lib = _build()
+    return _lib
+
+
+def find_rings_native(adjacency: List[List[int]], max_depth: int,
+                      filter_filled: bool = True
+                      ) -> Optional[List[List[int]]]:
+    """Ring search on a CSR-ified adjacency; returns None if the native
+    library is unavailable (callers fall back to Python)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(adjacency)
+    indptr = np.zeros(n + 1, np.int64)
+    for i, nb in enumerate(adjacency):
+        indptr[i + 1] = indptr[i] + len(nb)
+    indices = np.zeros(max(int(indptr[-1]), 1), np.int32)
+    off = 0
+    for nb in adjacency:
+        for v in nb:
+            indices[off] = v
+            off += 1
+    flat_p = ctypes.POINTER(ctypes.c_int32)()
+    sizes_p = ctypes.POINTER(ctypes.c_int32)()
+    n_rings = lib.find_rings_native(
+        n, indptr, indices, int(max_depth), int(filter_filled),
+        ctypes.byref(flat_p), ctypes.byref(sizes_p))
+    sizes = np.ctypeslib.as_array(sizes_p, (max(n_rings, 1),))[
+        :n_rings].copy()
+    total = int(sizes.sum())
+    flat = np.ctypeslib.as_array(flat_p, (max(total, 1),))[:total].copy()
+    lib.free_buffer(flat_p)
+    lib.free_buffer(sizes_p)
+    rings, off = [], 0
+    for s in sizes:
+        rings.append(flat[off:off + s].tolist())
+        off += s
+    return rings

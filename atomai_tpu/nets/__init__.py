@@ -16,6 +16,9 @@ from .reg_cls import (RegressorNet, ClassifierNet, MultiTaskClassifierNet,
 from .gp import (fcFeatureExtractor, rbf_kernel, matern52_kernel,
                  scale_to_bounds, init_gp_params, KERNELS)
 
+# reference-name aliases
+CustomBackbone = ConvBackbone  # `atomai/nets/blocks.py:332-399`
+
 __all__ = ["ConvBlock", "UpsampleBlock", "ResBlock", "ResModule",
            "DilatedBlock", "ConvBackbone", "Unet", "dilnet", "ResHedNet",
            "SegResNet", "init_fcnn_model", "DOWNSAMPLE_FACTORS",
@@ -26,4 +29,4 @@ __all__ = ["ConvBlock", "UpsampleBlock", "ResBlock", "ResModule",
            "ClassifierNet", "MultiTaskClassifierNet", "init_reg_model",
            "init_cls_model", "init_mtask_cls_model", "fcFeatureExtractor",
            "rbf_kernel", "matern52_kernel", "scale_to_bounds",
-           "init_gp_params", "KERNELS"]
+           "init_gp_params", "KERNELS", "CustomBackbone"]

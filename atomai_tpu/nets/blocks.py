@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..core.dtypes import default_precision
+
 IntOrTuple = Union[int, Tuple[int, ...]]
 
 
@@ -35,6 +37,11 @@ def _to_tuple(v: IntOrTuple, ndim: int) -> Tuple[int, ...]:
 
 def leaky_relu(x, negative_slope: float = 0.01):
     return jax.nn.leaky_relu(x, negative_slope)
+
+
+def _cdtype():
+    """Compute dtype from the global precision policy (params stay f32)."""
+    return default_precision().compute_dtype
 
 
 class ConvBlock(nn.Module):
@@ -57,13 +64,14 @@ class ConvBlock(nn.Module):
         p = _to_tuple(self.padding, self.ndim)
         pad = [(pi, pi) for pi in p]
         for _ in range(self.nb_layers):
-            x = nn.Conv(self.output_channels, k, strides=s, padding=pad)(x)
+            x = nn.Conv(self.output_channels, k, strides=s, padding=pad, dtype=_cdtype())(x)
             if self.dropout_ > 0:
                 x = nn.Dropout(self.dropout_, deterministic=not train)(x)
             x = leaky_relu(x, self.lrelu_a)
             if self.batch_norm:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=_cdtype())(x)
         return x
 
 
@@ -90,7 +98,7 @@ class UpsampleBlock(nn.Module):
             new_shape = (n, l * self.scale_factor, c)
         x = jax.image.resize(x, new_shape, method=method)
         k = (1,) * self.ndim
-        return nn.Conv(self.output_channels, k, strides=k, padding=0)(x)
+        return nn.Conv(self.output_channels, k, strides=k, padding=0, dtype=_cdtype())(x)
 
 
 class ResBlock(nn.Module):
@@ -109,17 +117,19 @@ class ResBlock(nn.Module):
         one = (1,) * self.ndim
         three = _to_tuple(3, self.ndim)
         pad = [(1, 1)] * self.ndim
-        x = nn.Conv(self.output_channels, one, strides=one, padding=0)(x)
+        x = nn.Conv(self.output_channels, one, strides=one, padding=0, dtype=_cdtype())(x)
         residual = x
-        out = nn.Conv(self.output_channels, three, padding=pad)(x)
+        out = nn.Conv(self.output_channels, three, padding=pad, dtype=_cdtype())(x)
         if self.batch_norm:
             out = nn.BatchNorm(use_running_average=not train,
-                               momentum=0.9, epsilon=1e-5)(out)
+                               momentum=0.9, epsilon=1e-5,
+                               dtype=_cdtype())(out)
         out = leaky_relu(out, self.lrelu_a)
-        out = nn.Conv(self.output_channels, three, padding=pad)(out)
+        out = nn.Conv(self.output_channels, three, padding=pad, dtype=_cdtype())(out)
         if self.batch_norm:
             out = nn.BatchNorm(use_running_average=not train,
-                               momentum=0.9, epsilon=1e-5)(out)
+                               momentum=0.9, epsilon=1e-5,
+                               dtype=_cdtype())(out)
         out = out + residual
         return leaky_relu(out, self.lrelu_a)
 
@@ -173,7 +183,7 @@ class DilatedBlock(nn.Module):
             pads = [(pad, pad)] * self.ndim
             dils = _to_tuple(dil, self.ndim)
             x = nn.Conv(self.output_channels, k, strides=s, padding=pads,
-                        kernel_dilation=dils)(x)
+                        kernel_dilation=dils, dtype=_cdtype())(x)
             acc = add(acc, x)
             if self.dropout_ > 0:
                 x = nn.Dropout(self.dropout_, deterministic=not train)(x)
@@ -182,7 +192,8 @@ class DilatedBlock(nn.Module):
             acc = add(acc, x)
             if self.batch_norm:
                 x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=_cdtype())(x)
                 acc = add(acc, x)
         return acc
 
@@ -216,12 +227,12 @@ class ConvBackbone(nn.Module):
                 "Unsupported backbone_type. Choose 'resnet', 'vgg' or "
                 "'mobilenet'.")
         stem, widths = self._PRESETS[self.backbone_type]
-        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=1)(x)
+        x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=1, dtype=_cdtype())(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=_cdtype())(x)
         x = leaky_relu(x)
         for w in widths:
-            x = nn.Conv(w, (3, 3), strides=(2, 2), padding=1)(x)
+            x = nn.Conv(w, (3, 3), strides=(2, 2), padding=1, dtype=_cdtype())(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5)(x)
             x = leaky_relu(x)

@@ -29,6 +29,18 @@ from ..utils.coords import peak_refinement
 from ..utils.img import img_pad, img_resize
 from ..utils.preproc import format_image, format_spectra
 
+# jitted-forward cache: linen modules are frozen dataclasses (hashable), so
+# re-creating a predictor for the same net reuses the compiled executable
+_FWD_CACHE: dict = {}
+
+
+def _cached_forward(key, builder):
+    fn = _FWD_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _FWD_CACHE[key] = fn
+    return fn
+
 
 class BasePredictor:
     """Base predictor: jitted forward + chunked batch prediction
@@ -62,8 +74,15 @@ class BasePredictor:
     def forward_(self, xnew) -> jnp.ndarray:
         """Single forward pass (eval mode)."""
         if self._jit_forward is None:
-            self._jit_forward = self._make_forward()
+            self._jit_forward = _cached_forward(
+                self._cache_key(), self._make_forward)
         return self._jit_forward(self._variables(), xnew)
+
+    def _cache_key(self):
+        try:
+            return (type(self).__name__, self.model)
+        except TypeError:  # unhashable custom module
+            return (type(self).__name__, id(self.model))
 
     def batch_predict(self, data, out_shape: Tuple[int, ...],
                       num_batches: int) -> np.ndarray:
@@ -116,6 +135,14 @@ class SegPredictor(BasePredictor):
         self.thresh = kwargs.get("thresh", .5)
         self.verbose = kwargs.get("verbose", True)
 
+    def _cache_key(self):
+        try:
+            return ("SegPredictor", self.model, self.logits,
+                    self.nb_classes)
+        except TypeError:
+            return ("SegPredictor", id(self.model), self.logits,
+                    self.nb_classes)
+
     def preprocess(self, image_data: np.ndarray, norm: bool = True):
         """(N?, H, W) -> padded, normalized NHWC
         (reference `predictor.py:190-207`)."""
@@ -154,7 +181,12 @@ class SegPredictor(BasePredictor):
         n, w, h = image_data.shape[:3]
         num_batches = kwargs.get("num_batches")
         if num_batches is None:
-            num_batches = n if (w >= 256 or h >= 256) else 10
+            # size chunks to ~256 MB of activations (the reference's
+            # per-image chunking for >=256 px, `predictor.py:250-256`, is
+            # a GPU-memory heuristic that would serialize tiny dispatches
+            # on TPU)
+            bytes_total = n * w * h * 4 * max(self.nb_classes, 16)
+            num_batches = max(1, int(np.ceil(bytes_total / (256 * 2**20))))
         segmented_imgs = self.batch_predict(
             image_data, (n, w, h, self.nb_classes), num_batches)
         if return_image:

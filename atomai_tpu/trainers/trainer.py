@@ -150,11 +150,24 @@ class BaseTrainer:
         self.Xb_test = jnp.asarray(preproc.stack_batches(X_test, bs))
         self.yb_test = jnp.asarray(preproc.stack_batches(y_test, bs))
         if self.mesh is not None:
-            from ..core.mesh import shard_batch
-            self.Xb_train, self.yb_train, self.Xb_test, self.yb_test = \
-                shard_batch(self.mesh, self.Xb_train, self.yb_train,
-                            self.Xb_test, self.yb_test)
+            self.Xb_train, self.yb_train, self.Xb_test, self.yb_test = (
+                self._shard_stacked(a) for a in
+                (self.Xb_train, self.yb_train, self.Xb_test,
+                 self.yb_test))
         self.data_is_set = True
+
+    def _shard_stacked(self, a):
+        """Shards the per-batch sample axis (axis 1 of the stacked
+        (n_batches, batch, ...) array) over the mesh data axis — the DP
+        layout under which jit inserts psum gradient collectives."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.mesh import DATA_AXIS
+        n_data = self.mesh.shape[DATA_AXIS]
+        if a.ndim >= 2 and a.shape[1] % n_data == 0:
+            spec = P(None, DATA_AXIS, *([None] * (a.ndim - 2)))
+        else:
+            spec = P()
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
 
     def data_augmentation(self, augment_fn: Callable) -> None:
         """Sets a jittable augment_fn(key, X, y) -> (X, y)
@@ -183,6 +196,10 @@ class BaseTrainer:
         self.compute_accuracy = compute_accuracy
         self.swa = swa
         self.lr_scheduler = kwargs.get("lr_scheduler")
+        # multi-device data parallelism: pass a jax.sharding.Mesh with a
+        # "data" axis (see atomai_tpu.core.mesh.get_mesh); batches shard
+        # over it and XLA inserts the gradient collectives
+        self.mesh = kwargs.get("mesh", self.mesh)
 
         if self.data_is_set:
             if kwargs.get("overwrite_train_data", True) and \

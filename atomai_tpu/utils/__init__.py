@@ -16,7 +16,8 @@ from .img import (img_resize, cv_resize, cv_resize_stack, cv_rotate,
                   extract_random_subimages, extract_patches,
                   extract_patches_2d, extract_patches_and_spectra, FFTmask,
                   FFTsub, threshImg, crop_borders, get_coord_grid,
-                  cv_thresh, filter_cells, get_blob_params, load_image)
+                  cv_thresh, filter_cells, get_blob_params, load_image,
+                  get_contours)
 from .nn import (average_weights, sample_weights, set_train_rng,
                  weights_init, reset_bnorm, num_params, combine_classes,
                  renumerate_classes, mock_forward, get_nb_classes,
@@ -31,6 +32,21 @@ from .graphx import (Graph, Node, get_interatomic_r, find_cycles,
                      find_cycle_clusters, filter_subgraphs, plot_graph)
 from .aseutils import ase_obj_basic, ase_obj_adv
 from . import datasets
+from . import compat
+from .compat import (torch_format_image, torch_format_spectra, torch_format,
+                     train_test_split, array2list, array2list_,
+                     get_array_memsize, init_dataloader, init_dataloaders,
+                     init_fcnn_dataloaders, init_imspec_dataloaders,
+                     init_reg_dataloaders, init_cls_dataloaders,
+                     init_vae_dataloaders, preprocess_training_image_data,
+                     preprocess_training_imspec_data,
+                     preprocess_training_reg_data,
+                     preprocess_training_cls_data, preprocess_denoiser_data,
+                     load_weights, Hook, set_seed_and_precision,
+                     dummy_optimizer, nb_filters_classes, channels2indices,
+                     combine_classes_, animation_from_png,
+                     plot_lattice_bonds, plot_trajectories,
+                     plot_transitions, visualize_unmixing_results)
 
 __all__ = [
     "num_classes_from_labels", "check_image_dims", "check_signal_dims",
@@ -46,7 +62,7 @@ __all__ = [
     "extract_subimages", "extract_random_subimages", "extract_patches",
     "extract_patches_2d", "extract_patches_and_spectra", "FFTmask",
     "FFTsub", "threshImg", "crop_borders", "get_coord_grid", "cv_thresh",
-    "filter_cells", "get_blob_params", "load_image", "average_weights",
+    "filter_cells", "get_blob_params", "load_image", "get_contours", "average_weights",
     "sample_weights", "set_train_rng", "weights_init", "reset_bnorm",
     "num_params", "combine_classes", "renumerate_classes", "MakeAtom",
     "create_lattice_mask", "create_multiclass_lattice_mask",
@@ -54,5 +70,16 @@ __all__ = [
     "plot_coord", "draw_boxes", "graphx", "Graph", "Node",
     "get_interatomic_r", "find_cycles", "find_cycle_clusters",
     "filter_subgraphs", "plot_graph", "ase_obj_basic", "ase_obj_adv",
-    "datasets",
+    "datasets", "compat", "torch_format_image", "torch_format_spectra",
+    "torch_format", "train_test_split", "array2list", "array2list_",
+    "get_array_memsize", "init_dataloader", "init_dataloaders",
+    "init_fcnn_dataloaders", "init_imspec_dataloaders",
+    "init_reg_dataloaders", "init_cls_dataloaders", "init_vae_dataloaders",
+    "preprocess_training_image_data", "preprocess_training_imspec_data",
+    "preprocess_training_reg_data", "preprocess_training_cls_data",
+    "preprocess_denoiser_data", "load_weights", "Hook",
+    "set_seed_and_precision", "dummy_optimizer", "nb_filters_classes",
+    "channels2indices", "combine_classes_", "animation_from_png",
+    "plot_lattice_bonds", "plot_trajectories", "plot_transitions",
+    "visualize_unmixing_results",
 ]

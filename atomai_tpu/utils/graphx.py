@@ -148,6 +148,22 @@ class Graph:
         for v in self.vertices:
             v.neighbors = copy(v.neighborscopy)
 
+    def polycount_native(self, max_depth: int,
+                         filter_filled: bool = True) -> bool:
+        """Native C++ ring search (atomai_tpu/native/graph_rings.cpp):
+        same semantics as polycount [+ remove_filled_polygons], orders of
+        magnitude faster on large lattices. Returns False if the native
+        library is unavailable (caller should fall back)."""
+        from ..native import find_rings_native
+        adjacency = [[n.id for n in v.neighborscopy]
+                     for v in self.vertices]
+        rings_ids = find_rings_native(adjacency, max_depth, filter_filled)
+        if rings_ids is None:
+            return False
+        self.rings = [[self.vertices[i] for i in ring]
+                      for ring in rings_ids]
+        return True
+
     def remove_filled_polygons(self) -> None:
         """Keeps only shortest-path rings (`graphx.py:177-203`)."""
         for v in self.vertices:
@@ -254,11 +270,12 @@ def find_cycles(coordinate_data: np.ndarray,
     coordinates = deepcopy(np.asarray(coordinate_data, float))
     coordinates[:, :-1] = coordinates[:, :-1] * px2ang
     e = kwargs.get("expand", 1.2)
-    with _recursion_headroom():
-        G = Graph(coordinates, map_dict)
-        G.find_neighbors(expand=e)
-        G.polycount(max_depth=max(cycles))
-        G.remove_filled_polygons()
+    G = Graph(coordinates, map_dict)
+    G.find_neighbors(expand=e)
+    if not G.polycount_native(max_depth=max(cycles)):
+        with _recursion_headroom():
+            G.polycount(max_depth=max(cycles))
+            G.remove_filled_polygons()
     rl = [sorted(int(v.id) for v in r) for r in G.rings]
     rl = sorted(rl, key=lambda x: (len(x), x[0], x[1], x[2]))
     coordinates_ = [coordinates[r] for r in rl if len(r) in cycles]
@@ -278,11 +295,12 @@ def find_cycle_clusters(coordinate_data: np.ndarray,
     coordinates = deepcopy(np.asarray(coordinate_data, float))
     coordinates[:, :-1] = coordinates[:, :-1] * px2ang
     e = kwargs.get("expand", 1.2)
-    with _recursion_headroom():
-        G = Graph(coordinates, map_dict)
-        G.find_neighbors(expand=e)
-        G.polycount(max_depth=max(cycles))
-        G.remove_filled_polygons()
+    G = Graph(coordinates, map_dict)
+    G.find_neighbors(expand=e)
+    if not G.polycount_native(max_depth=max(cycles)):
+        with _recursion_headroom():
+            G.polycount(max_depth=max(cycles))
+            G.remove_filled_polygons()
     g_nx = G.rings_to_nx_graph(cycles)
     sub_graphs = [g_nx.subgraph(c).copy()
                   for c in nx.connected_components(g_nx)]

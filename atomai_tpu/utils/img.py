@@ -361,6 +361,25 @@ def filter_cells_(imgdata: np.ndarray, im_thresh: float = .5,
     return keep.astype(imgdata.dtype)
 
 
+def get_contours(imgdata: np.ndarray) -> List[np.ndarray]:
+    """Boundary-pixel contours of binary blobs (replaces cv2.findContours,
+    reference `img.py:587-596`): per-blob arrays of (x, y) boundary
+    coordinates in raster order."""
+    mask = (np.asarray(imgdata) > 0)
+    lab = np.asarray(label_components(jnp.asarray(mask.astype(np.float32))))
+    H, W = mask.shape
+    interior = np.zeros_like(mask)
+    interior[1:-1, 1:-1] = (mask[1:-1, 1:-1] & mask[:-2, 1:-1] &
+                            mask[2:, 1:-1] & mask[1:-1, :-2] &
+                            mask[1:-1, 2:])
+    boundary = mask & ~interior
+    contours = []
+    for root in np.unique(lab[lab < H * W]):
+        ys, xs = np.nonzero((lab == root) & boundary)
+        contours.append(np.stack([xs, ys], axis=1))
+    return contours
+
+
 def filter_cells(imgdata: np.ndarray, im_thresh: float = 0.5,
                  blob_thresh: int = 50, filter_: str = "below"
                  ) -> np.ndarray:

@@ -62,11 +62,11 @@ def main():
     t_train = time.time() - t0
 
     # predict warmup with the same per-batch shape, then timed
-    _ = m.predict(imgs[:N_IMG // 8], compute_coords=False, verbose=False,
+    _ = m.predict(imgs[:N_IMG // 2], compute_coords=False, verbose=False,
                   num_batches=1)
     t0 = time.time()
     out = m.predict(imgs, compute_coords=False, verbose=False,
-                    num_batches=8)
+                    num_batches=2)
     t_pred = time.time() - t0
     assert out.shape == (N_IMG, SIZE, SIZE, 1)
 
