@@ -70,6 +70,24 @@ def main():
     t_pred = time.time() - t0
     assert out.shape == (N_IMG, SIZE, SIZE, 1)
 
+    # --- secondary metric: rVAE ELBO steps/sec (BASELINE.json config C:
+    # rotation-invariant VAE on 32x32 atomic patches) ------------------
+    patches, _, _ = aoi.utils.make_lattice_stack(
+        n_images=2, size=256, spacing=16, seed=3)
+    from atomai_tpu.utils import extract_patches_2d
+    P = np.concatenate([extract_patches_2d(p, (32, 32), 512, i)
+                        for i, p in enumerate(patches)])
+    rvae = aoi.models.rVAE((32, 32), latent_dim=2)
+    rvae.fit(P, training_cycles=2, batch_size=128, verbose=False,
+             filename="/tmp/bench_rvae")  # compile + warm
+    n_steps_per_epoch = len(P) // 128
+    t0 = time.time()
+    n_epochs = 10
+    for _ in range(n_epochs):
+        rvae.train_epoch()
+    t_rvae = time.time() - t0
+    rvae_steps_per_sec = n_epochs * n_steps_per_epoch / t_rvae
+
     train_imgs_eq = CYCLES * BATCH * EQ
     pred_imgs_eq = N_IMG * EQ
     ours = (train_imgs_eq + pred_imgs_eq) / (t_train + t_pred)
@@ -89,6 +107,7 @@ def main():
             "config": f"Unet nb_classes=1, {CYCLES} cycles, batch "
                       f"{BATCH}, {N_IMG}x{SIZE}x{SIZE} stack",
             "reference_images_per_sec": round(ref, 3),
+            "rvae_elbo_steps_per_sec": round(rvae_steps_per_sec, 2),
         },
     }))
 

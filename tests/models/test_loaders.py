@@ -1,0 +1,67 @@
+"""Serialization round trips for all model types (reference model:
+`test/models/test_loaders.py:63-90`)."""
+
+import jax
+import numpy as np
+import pytest
+
+from atomai_tpu.models import (VAE, rVAE, jVAE, DenoisingAutoencoder,
+                               load_ensemble, load_model)
+from atomai_tpu.trainers import EnsembleTrainer
+
+
+def _params_equal(p1, p2):
+    l1, l2 = jax.tree.leaves(p1), jax.tree.leaves(p2)
+    return all(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2))
+
+
+@pytest.fixture(scope="module")
+def imstack():
+    return np.random.RandomState(0).rand(32, 16, 16).astype(np.float32)
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (VAE, {}),
+    (rVAE, {}),
+    (jVAE, {"discrete_dim": [3]}),
+])
+def test_vae_save_load_roundtrip(cls, kw, imstack, tmp_path):
+    vae = cls((16, 16), latent_dim=2, numhidden_encoder=16,
+              numhidden_decoder=16, **kw)
+    vae.fit(imstack, training_cycles=2, batch_size=16, verbose=False,
+            filename=str(tmp_path / "vae"))
+    path = vae.save_model(str(tmp_path / "vae_saved"))
+    loaded = load_model(path)
+    assert type(loaded).__name__ == cls.__name__
+    assert _params_equal(vae.params, loaded.params)
+    z = loaded.encode(imstack[:4])
+    assert z[0].shape[0] == 4
+
+
+def test_denoiser_save_load(imstack, tmp_path):
+    den = DenoisingAutoencoder(encoder_filters=[4, 8],
+                               decoder_filters=[8, 4],
+                               encoder_layers=[1, 1],
+                               decoder_layers=[1, 1])
+    den.fit(imstack, imstack, training_cycles=2, batch_size=8,
+            print_loss=2, filename=str(tmp_path / "den"))
+    path = den.save_model(str(tmp_path / "den_saved"))
+    loaded = load_model(path)
+    out = loaded.predict(imstack[:2])
+    assert out.shape == (2, 16, 16)
+
+
+def test_ensemble_save_load(tmp_path):
+    from atomai_tpu.utils import make_lattice_stack
+    imgs, masks, _ = make_lattice_stack(8, 32, 10, seed=1)
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                filename=str(tmp_path / "ens"))
+    _, ensemble = et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    path = str(tmp_path / "ens") + "_ensemble_metadict"
+    smodel, loaded_ens = load_ensemble(path)
+    assert len(loaded_ens) == 2
+    assert _params_equal(ensemble[0], loaded_ens[0])
+    assert _params_equal(ensemble[1], loaded_ens[1])
