@@ -6,7 +6,7 @@ predict via BasePredictor (:188-213), ``denoise_images`` convenience
 function (:238-270).
 """
 
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import numpy as np

@@ -6,7 +6,7 @@ temperature-relaxed discrete sampling and dual capacity schedules
 """
 
 from copy import deepcopy as dc
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ manifold recording (:211-215).
 """
 
 from copy import deepcopy as dc
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

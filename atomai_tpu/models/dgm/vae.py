@@ -11,7 +11,7 @@ kwarg (:716-719), model saved every epoch (:742).
 
 import os
 from copy import deepcopy as dc
-from typing import Dict, List, Optional, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...trainers.gptrainer import dklGPTrainer, posterior
+from ...trainers.gptrainer import (dklGPTrainer, posterior,
+                                   posterior_cache, posterior_from_cache)
 
 
 class dklGPR(dklGPTrainer):
@@ -57,22 +58,47 @@ class dklGPR(dklGPTrainer):
         self.run(X, y, training_cycles, **kwargs)
 
     # --------------------------------------------------------- posterior
-    def _posteriors(self, Xs, full_cov: bool = False):
-        """Per-output posterior(s) at Xs."""
+    def _get_cache(self):
+        """Training-side factorizations, computed once per fit
+        (invalidated by run())."""
+        cache = getattr(self, "_post_cache", None)
+        if cache is not None:
+            return cache
         gp = self.gp_params
         if self.correlated_output:
             z_train = self._embed_fn(self.fe_params, self.X)
+            caches = jax.vmap(
+                lambda p, yy: posterior_cache(p, z_train, yy,
+                                              self.kernel))(gp, self.y)
+            z_trains = jnp.broadcast_to(
+                z_train, (self.y.shape[0],) + z_train.shape)
+        else:
+            def one(fe_i, gp_i, y_i):
+                z = self._embed_fn(fe_i, self.X)
+                return posterior_cache(gp_i, z, y_i, self.kernel), z
+            caches, z_trains = jax.vmap(one)(self.fe_params, gp, self.y)
+        self._post_cache = (caches, z_trains)
+        return self._post_cache
+
+    def run(self, X=None, y=None, training_cycles: int = 1, **kwargs):
+        self._post_cache = None
+        return super().run(X, y, training_cycles, **kwargs)
+
+    def _posteriors(self, Xs, full_cov: bool = False):
+        """Per-output posterior(s) at Xs (cached train factorization)."""
+        caches, z_trains = self._get_cache()
+        if self.correlated_output:
             z_s = self._embed_fn(self.fe_params, Xs)
             return jax.vmap(
-                lambda p, yy: posterior(p, z_train, yy, z_s, self.kernel,
-                                        full_cov=full_cov))(gp, self.y)
+                lambda c, zt: posterior_from_cache(
+                    c, zt, z_s, self.kernel, full_cov=full_cov)
+            )(caches, z_trains)
 
-        def one(fe_i, gp_i, y_i):
-            z_train = self._embed_fn(fe_i, self.X)
+        def one(fe_i, c, zt):
             z_s = self._embed_fn(fe_i, Xs)
-            return posterior(gp_i, z_train, y_i, z_s, self.kernel,
-                             full_cov=full_cov)
-        return jax.vmap(one)(self.fe_params, gp, self.y)
+            return posterior_from_cache(c, zt, z_s, self.kernel,
+                                        full_cov=full_cov)
+        return jax.vmap(one)(self.fe_params, caches, z_trains)
 
     def sample_from_posterior(self, X, num_samples: int = 1000
                               ) -> np.ndarray:

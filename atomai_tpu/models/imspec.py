@@ -4,7 +4,7 @@ Parity: `atomai/models/imspec.py:9-170` — ImSpecTrainer facade with
 on-device augmentation and ImSpecPredictor composition.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 from ..core.checkpoint import load_checkpoint
 from ..predictors import ImSpecPredictor

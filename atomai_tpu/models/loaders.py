@@ -6,7 +6,7 @@ constructor kwargs; ``load_ensemble`` restores the averaged weights plus
 all member weights.
 """
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 from ..core.checkpoint import load_checkpoint
 

@@ -5,8 +5,6 @@ reg_augmentor and RegPredictor composition; backbones mobilenet/resnet/vgg
 (own ConvBackbone presets).
 """
 
-from typing import Optional
-
 from ..core.checkpoint import load_checkpoint
 from ..predictors import RegPredictor
 from ..trainers import RegTrainer

@@ -6,9 +6,7 @@ Parity: `atomai/models/segmentor.py:10-207` — trainer facade with
 (:202-207).
 """
 
-from typing import Any, Dict, Optional, Tuple, Union
-
-import numpy as np
+from typing import Any, Optional, Tuple, Union
 
 from ..core.checkpoint import load_checkpoint
 from ..predictors import SegPredictor

@@ -18,7 +18,7 @@ MODEL_AXIS).
 
 import warnings
 from copy import deepcopy as dc
-from typing import Any, Callable, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ problem sizes (<= ~10k points) the dense Cholesky lowers straight onto the
 MXU and is both simpler and faster on TPU.
 """
 
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +65,34 @@ def neg_mll(params, X, y, kernel: Callable,
            - jnp.sum(jnp.log(jnp.diagonal(L)))
            - 0.5 * N * jnp.log(2 * jnp.pi))
     return -mll / N  # gpytorch's ExactMarginalLogLikelihood is mean-reduced
+
+
+def posterior_cache(params, X, y, kernel: Callable,
+                    lengthscale_constraints=None):
+    """Precomputes the training-side factorization (L, alpha) so repeated
+    posterior evaluations skip the O(N^3) Cholesky."""
+    ls, os_, noise, mean = _hyp(params, lengthscale_constraints)
+    N = X.shape[0]
+    lsb, osb = (ls[None], os_[None]) if ls.ndim == 1 else (ls, os_)
+    K = kernel(X, X, lsb, osb)[0]
+    K = K + (noise + JITTER) * jnp.eye(N, dtype=K.dtype)
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y - mean)
+    return {"L": L, "alpha": alpha, "mean": mean, "ls": lsb, "os": osb}
+
+
+def posterior_from_cache(cache, X, Xs, kernel: Callable,
+                         full_cov: bool = False):
+    """Posterior at Xs using a precomputed factorization."""
+    Ks = kernel(X, Xs, cache["ls"], cache["os"])[0]
+    mean_s = cache["mean"] + Ks.T @ cache["alpha"]
+    v = jax.scipy.linalg.solve_triangular(cache["L"], Ks, lower=True)
+    if full_cov:
+        Kss = kernel(Xs, Xs, cache["ls"], cache["os"])[0]
+        return mean_s, Kss - v.T @ v
+    kss_diag = cache["os"][0] * jnp.ones(Xs.shape[0])
+    var_s = jnp.maximum(kss_diag - jnp.sum(v * v, axis=0), 1e-10)
+    return mean_s, var_s
 
 
 def posterior(params, X, y, Xs, kernel: Callable,
@@ -174,6 +202,7 @@ class GPTrainer:
         self.gp_params, self.opt_state, losses = self._fit_chunk(
             self.gp_params, self.opt_state, jnp.arange(1))
         self.train_loss.extend(np.asarray(losses).tolist())
+        self._post_cache = None
 
     def run(self, X=None, y=None, training_cycles: int = 1, **kwargs):
         """(reference `gptrainer.py:98-124`)"""
@@ -190,6 +219,7 @@ class GPTrainer:
             self.train_loss.extend(np.asarray(losses).tolist())
             e += n
             self.print_statistics(e - 1)
+        self._post_cache = None
         return self
 
     def print_statistics(self, e: int) -> None:
@@ -198,16 +228,29 @@ class GPTrainer:
                   np.around(self.train_loss[-1], 4)))
 
     def predict(self, Xs, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
-        """Posterior mean/variance at new points."""
+        """Posterior mean/variance at new points. The training-side
+        Cholesky factorization is computed once per fit and reused across
+        predict calls/batches."""
         Xs, _ = self.set_data(Xs)
+        cache = getattr(self, "_post_cache", None)
+        if cache is None:
+            if self.y.shape[0] == 1:
+                cache = posterior_cache(
+                    self.gp_params, self.X, self.y[0], self.kernel,
+                    self.lengthscale_constraints)
+            else:
+                cache = jax.vmap(
+                    lambda p, yy: posterior_cache(
+                        p, self.X, yy, self.kernel,
+                        self.lengthscale_constraints)
+                )(self.gp_params, self.y)
+            self._post_cache = cache
         if self.y.shape[0] == 1:
-            m, v = posterior(self.gp_params, self.X, self.y[0], Xs,
-                             self.kernel, self.lengthscale_constraints)
+            m, v = posterior_from_cache(cache, self.X, Xs, self.kernel)
             return np.asarray(m), np.asarray(v)
         m, v = jax.vmap(
-            lambda p, yy: posterior(p, self.X, yy, Xs, self.kernel,
-                                    self.lengthscale_constraints)
-        )(self.gp_params, self.y)
+            lambda c: posterior_from_cache(c, self.X, Xs, self.kernel)
+        )(cache)
         return np.asarray(m), np.asarray(v)
 
 

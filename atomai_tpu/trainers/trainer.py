@@ -20,15 +20,13 @@ step. SWA keeps running first/second parameter moments (O(1) memory; the
 second moment powers SWAG sampling, `atomai/utils/nn.py:84-117`).
 """
 
-import warnings
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from ..core.checkpoint import save_checkpoint
 from ..core.prng import KeySeq
@@ -37,7 +35,6 @@ from ..losses_metrics import select_loss, iou_score
 from ..nets import (init_fcnn_model, init_imspec_model, init_reg_model,
                     init_cls_model)
 from ..utils import preproc
-from ..transforms import seg_augmentor, imspec_augmentor, reg_augmentor
 
 
 def _shuffled_batch_schedule(n_batches: int, cycles: int, seed: int

@@ -12,7 +12,7 @@ batches (single dispatch per epoch); Adam(1e-4) via optax; capacity
 annealing's ``num_iter`` is threaded through the scan as a traced value.
 """
 
-from typing import Any, Callable, Dict, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

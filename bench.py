@@ -38,6 +38,7 @@ EQ = (SIZE / 512.0) ** 2  # 512^2-image equivalents per 256^2 image
 # shims (skimage/gpytorch/torchvision stubs). See BASELINE.md.
 REF_SEC_PER_CYCLE = 48.536
 REF_SEC_PER_PRED_IMG = 0.1539
+REF_RVAE_STEPS_PER_SEC = 0.502  # measured: 24 steps in 47.8 s (CPU)
 
 
 def main():
@@ -108,6 +109,8 @@ def main():
                       f"{BATCH}, {N_IMG}x{SIZE}x{SIZE} stack",
             "reference_images_per_sec": round(ref, 3),
             "rvae_elbo_steps_per_sec": round(rvae_steps_per_sec, 2),
+            "rvae_vs_baseline": round(
+                rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
         },
     }))
 
