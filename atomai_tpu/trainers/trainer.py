@@ -415,6 +415,13 @@ class BaseTrainer:
                         (tr_loss_sum / nb_tr, ts_loss_sum / nb_ts,
                          tr_acc_sum / nb_tr, ts_acc_sum / nb_ts))
 
+        # XLA:CPU executes ops inside while/scan single-threaded (a ~30x
+        # slowdown for conv workloads); on CPU backends we therefore jit
+        # the single cycle and drive the loop from Python. On TPU the
+        # scan-over-cycles form runs the whole chunk in one dispatch.
+        if jax.default_backend() == "cpu":
+            return jax.jit(cycle)
+
         @jax.jit
         def run_chunk(carry, xs):
             return jax.lax.scan(cycle, carry, xs)
@@ -433,6 +440,7 @@ class BaseTrainer:
         swa_state = SwaState.init(self.params)
         carry = (self.params, self.batch_stats, self.opt_state, swa_state)
         all_keys = jax.random.split(self.keys.next(), cycles)
+        cpu_loop = jax.default_backend() == "cpu"
         e0 = 0
         while e0 < cycles:
             e1 = min(e0 + chunk, cycles)
@@ -443,7 +451,16 @@ class BaseTrainer:
                       jnp.asarray(self.batch_idx_test[e0:e1]), keys)
             else:
                 xs = (es, keys)
-            carry, (tr_l, ts_l, tr_a, ts_a) = run_chunk(carry, xs)
+            if cpu_loop:
+                mets = []
+                for i in range(e1 - e0):
+                    xi = jax.tree.map(lambda a: a[i], xs)
+                    carry, m = run_chunk(carry, xi)
+                    mets.append(m)
+                tr_l, ts_l, tr_a, ts_a = (
+                    np.asarray([m[j] for m in mets]) for j in range(4))
+            else:
+                carry, (tr_l, ts_l, tr_a, ts_a) = run_chunk(carry, xs)
             tr_l = np.asarray(tr_l)
             ts_l = np.asarray(ts_l)
             self.loss_acc["train_loss"].extend(tr_l.tolist())

@@ -193,6 +193,61 @@ class viBaseTrainer:
         bs = min(self.batch_size, N)
         nb = max(N // bs, 1)
         X, y = self.X_train, self.y_train
+        # XLA:CPU runs ops inside scan single-threaded; python-loop a
+        # jitted per-batch step there instead (TPU keeps the one-dispatch
+        # scan-per-epoch form)
+        cpu_loop = jax.default_backend() == "cpu"
+
+        def batch_step(params, opt_state, x_i, y_i, k_i, num_iter):
+            def loss_fn(p):
+                elbo = self.forward_compute_elbo_fn(
+                    p, x_i, y_i, k_i, num_iter, True)
+                return -elbo, elbo
+
+            (_, elbo), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, elbo
+
+        if cpu_loop:
+            jit_step = jax.jit(batch_step)
+
+            def train_epoch(params, opt_state, key, num_iter0):
+                kperm, kbase = jax.random.split(key)
+                perm = np.asarray(
+                    jax.random.permutation(kperm, N)[:nb * bs]).reshape(
+                    nb, bs)
+                elbo_sum = 0.0
+                for i in range(nb):
+                    x_i = X[perm[i]]
+                    y_i = y[perm[i]] if has_y else None
+                    k_i = jax.random.fold_in(kbase, i)
+                    params, opt_state, elbo = jit_step(
+                        params, opt_state, x_i, y_i, k_i, num_iter0 + i)
+                    elbo_sum = elbo_sum + elbo
+                return params, opt_state, elbo_sum / nb
+
+            def eval_epoch_cpu(params, key, num_iter0):
+                if self.X_test is None:
+                    return jnp.float32(0)
+                Xt, yt = self.X_test, self.y_test
+                Nt = int(Xt.shape[0])
+                bst = min(bs, Nt)
+                nbt = max(Nt // bst, 1)
+                jit_elbo = jax.jit(
+                    lambda p, x, yy, k, it: self.forward_compute_elbo_fn(
+                        p, x, yy, k, it, False))
+                elbo_sum = 0.0
+                for i in range(nbt):
+                    x_i = Xt[i * bst:(i + 1) * bst]
+                    y_i = yt[i * bst:(i + 1) * bst] \
+                        if yt is not None else None
+                    k_i = jax.random.fold_in(key, i)
+                    elbo_sum += jit_elbo(params, x_i, y_i, k_i, num_iter0)
+                return elbo_sum / nbt
+
+            return train_epoch, eval_epoch_cpu
 
         def train_epoch(params, opt_state, key, num_iter0):
             kperm, kbase = jax.random.split(key)
@@ -205,16 +260,8 @@ class viBaseTrainer:
                 x_i = X[idx]
                 y_i = y[idx] if has_y else None
                 k_i = jax.random.fold_in(kbase, i)
-
-                def loss_fn(p):
-                    elbo = self.forward_compute_elbo_fn(
-                        p, x_i, y_i, k_i, num_iter0 + i, True)
-                    return -elbo, elbo
-
-                (_, elbo), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, elbo = batch_step(
+                    params, opt_state, x_i, y_i, k_i, num_iter0 + i)
                 return (params, opt_state, elbo_sum + elbo), None
 
             (params, opt_state, elbo_sum), _ = jax.lax.scan(
