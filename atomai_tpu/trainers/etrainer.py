@@ -168,8 +168,30 @@ class BaseEnsembleTrainer(BaseTrainer):
                     lambda s: s / swa_cycles, swa_sum)
             return params_stack, bs_stack, losses
 
-        params_stack, bs_stack, losses = run_all(params_stack, bs_stack,
-                                                 opt_stack)
+        if jax.default_backend() == "cpu":
+            # XLA:CPU runs scan bodies single-threaded; python-loop the
+            # jitted vmapped step instead
+            jit_vstep = jax.jit(vstep)
+            swa_sum = zeros
+            swa_sq = jax.tree.map(jnp.zeros_like, params_stack)
+            losses_all = []
+            sched_np = np.asarray(sched)
+            for e in range(cycles):
+                keys_e = jax.vmap(
+                    lambda k: jax.random.fold_in(k, e))(mkeys)
+                params_stack, bs_stack, opt_stack, swa_sum, swa_sq, \
+                    losses_e = jit_vstep(
+                        params_stack, bs_stack, opt_stack, swa_sum,
+                        swa_sq, jnp.asarray(sched_np[:, e]), keys_e,
+                        jnp.int32(e))
+                losses_all.append(losses_e)
+            if swa:
+                params_stack = jax.tree.map(
+                    lambda s: s / swa_cycles, swa_sum)
+            losses = jnp.stack(losses_all)
+        else:
+            params_stack, bs_stack, losses = run_all(
+                params_stack, bs_stack, opt_stack)
         self.loss_acc["train_loss"].extend(
             np.asarray(losses).mean(axis=1).tolist())
         return params_stack, bs_stack

@@ -182,13 +182,29 @@ class GPTrainer:
         tx = self.tx
         loss_fn = self._loss_fn
 
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        # XLA:CPU runs ops inside scan single-threaded (incl. the Cholesky)
+        if jax.default_backend() == "cpu":
+            jit_step = jax.jit(step)
+
+            def chunk(params, opt_state, n_steps_arr):
+                losses = []
+                for _ in range(len(n_steps_arr)):
+                    params, opt_state, loss = jit_step(params, opt_state)
+                    losses.append(loss)
+                return params, opt_state, jnp.stack(losses)
+            return chunk
+
         @jax.jit
         def chunk(params, opt_state, n_steps_arr):
             def body(carry, _):
                 params, opt_state = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, loss = step(params, opt_state)
                 return (params, opt_state), loss
             (params, opt_state), losses = jax.lax.scan(
                 body, (params, opt_state), n_steps_arr)
@@ -361,23 +377,6 @@ class dklGPTrainer(GPTrainer):
             return neg_mll(gp_i, z, y_i, self.kernel)
         losses = jax.vmap(one)(fe, gp, self.y)
         return jnp.sum(losses)
-
-    def _build_fit_chunk(self):
-        tx = self.tx
-        loss_fn = self._loss_fn
-
-        @jax.jit
-        def chunk(params, opt_state, n_steps_arr):
-            def body(carry, _):
-                params, opt_state = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), n_steps_arr)
-            return params, opt_state, losses
-        return chunk
 
     def run(self, X=None, y=None, training_cycles: int = 1, **kwargs):
         """(reference `gptrainer.py:307-343`)"""

@@ -417,10 +417,67 @@ class BaseTrainer:
 
         # XLA:CPU executes ops inside while/scan single-threaded (a ~30x
         # slowdown for conv workloads); on CPU backends we therefore jit
-        # the single cycle and drive the loop from Python. On TPU the
+        # the per-batch steps and drive all loops from Python. On TPU the
         # scan-over-cycles form runs the whole chunk in one dispatch.
         if jax.default_backend() == "cpu":
-            return jax.jit(cycle)
+            jit_train = jax.jit(train_one_batch)
+            jit_eval = jax.jit(eval_one_batch)
+            jit_swa = jax.jit(lambda s, p: s.update(p))
+
+            def swa_update(swa_state, params, e):
+                if swa_on and int(e) >= swa_start:
+                    return jit_swa(swa_state, params)
+                return swa_state
+
+            if not full_epoch:
+                def cycle_py(carry, xs):
+                    params, batch_stats, opt_state, swa_state = carry
+                    e, bi_tr, bi_ts, key = xs
+                    k_tr, k_ts, k_p = jax.random.split(key, 3)
+                    (params, batch_stats, opt_state), tr_loss, tr_acc = \
+                        jit_train((params, batch_stats, opt_state),
+                                  Xb_train[int(bi_tr)],
+                                  yb_train[int(bi_tr)], k_tr)
+                    ts_loss, ts_acc = jit_eval(
+                        params, batch_stats, Xb_test[int(bi_ts)],
+                        yb_test[int(bi_ts)], k_ts)
+                    swa_state = swa_update(swa_state, params, e)
+                    if perturb is not None:
+                        params = _maybe_perturb(params, jnp.int32(e), k_p,
+                                                perturb)
+                    return ((params, batch_stats, opt_state, swa_state),
+                            (tr_loss, ts_loss, tr_acc, ts_acc))
+            else:
+                nb_tr = int(Xb_train.shape[0])
+                nb_ts = int(Xb_test.shape[0])
+
+                def cycle_py(carry, xs):
+                    params, batch_stats, opt_state, swa_state = carry
+                    e, key = xs
+                    tr_loss = tr_acc = 0.0
+                    for i in range(nb_tr):
+                        k = jax.random.fold_in(key, i)
+                        (params, batch_stats, opt_state), loss, acc = \
+                            jit_train((params, batch_stats, opt_state),
+                                      Xb_train[i], yb_train[i], k)
+                        tr_loss += loss
+                        tr_acc += acc
+                    ts_loss = ts_acc = 0.0
+                    for i in range(nb_ts):
+                        k = jax.random.fold_in(key, nb_tr + i)
+                        loss, acc = jit_eval(params, batch_stats,
+                                             Xb_test[i], yb_test[i], k)
+                        ts_loss += loss
+                        ts_acc += acc
+                    swa_state = swa_update(swa_state, params, e)
+                    if perturb is not None:
+                        params = _maybe_perturb(
+                            params, jnp.int32(e),
+                            jax.random.fold_in(key, -1), perturb)
+                    return ((params, batch_stats, opt_state, swa_state),
+                            (tr_loss / nb_tr, ts_loss / nb_ts,
+                             tr_acc / nb_tr, ts_acc / nb_ts))
+            return cycle_py
 
         @jax.jit
         def run_chunk(carry, xs):

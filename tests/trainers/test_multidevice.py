@@ -26,11 +26,12 @@ def test_dp_training_matches_single_device():
            filename="/tmp/aoi_dp2", mesh=mesh)
 
     # identical math, different partitioning -> near-identical results
+    # (cross-shard reductions accumulate in a different order)
     l1 = jax.tree.leaves(m1.params)
     l2 = jax.tree.leaves(m2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-4)
+                                   atol=5e-4)
     # batches really are sharded over the data axis
     assert len(m2.Xb_train.sharding.device_set) == 8
 
