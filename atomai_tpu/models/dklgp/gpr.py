@@ -55,11 +55,12 @@ class Reconstructor(GPTrainer):
         X_train, y_train, X_full = prepare_gp_input(sparse_image)
         if not lengthscale_constraints:
             lengthscale_constraints = get_lengthscale_constraints(X_full)
-        if len(X_train) > self.MAX_EXACT_POINTS:
-            rng = np.random.RandomState(self.seed)
-            idx = rng.choice(len(X_train), self.MAX_EXACT_POINTS,
-                             replace=False)
-            X_train, y_train = X_train[idx], y_train[idx]
+        if "kernel_type" not in kwargs:
+            # exact Cholesky up to ~10k measured pixels; inducing-grid
+            # SGPR ('kissgp' analog) beyond that
+            kwargs["kernel_type"] = "exact" \
+                if len(X_train) <= self.MAX_EXACT_POINTS else "kissgp"
+            kwargs.setdefault("grid_points_ratio", grid_points_ratio)
         print("Model training ...\n")
         self.fit(np.asarray(X_train, np.float32), y_train,
                  training_cycles,

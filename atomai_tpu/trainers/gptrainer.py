@@ -12,11 +12,12 @@ dense batched linear algebra — Cholesky factorization of the (batched) ARD
 kernel matrix, triangular solves for the MLL and posterior. The whole fit
 is one jitted ``lax.scan`` over epochs; multi-output/ensemble models are a
 ``jax.vmap`` over the output axis rather than gpytorch's
-IndependentModelList loop. KISS-GP grid interpolation (`atomai/nets/gp.py:
-29-60`) is intentionally replaced by exact/subset inference with the same
-public behavior (SURVEY.md §7 hard-part #4): at the reference's default
-problem sizes (<= ~10k points) the dense Cholesky lowers straight onto the
-MXU and is both simpler and faster on TPU.
+IndependentModelList loop. The reference's approximate kernels map as:
+'sparse' (InducingPointKernel) and 'kissgp' (GridInterpolationKernel,
+`atomai/nets/gp.py:63-131`) -> the SGPR collapsed variational bound
+(Titsias 2009) with free or regular-grid inducing points (SURVEY.md §7
+hard-part #4); 'exact' dense Cholesky is the default at the reference's
+problem sizes (<= ~10k points), where it lowers straight onto the MXU.
 """
 
 from typing import Callable, List, Tuple
@@ -95,6 +96,92 @@ def posterior_from_cache(cache, X, Xs, kernel: Callable,
     return mean_s, var_s
 
 
+def neg_mll_sparse(params, X, y, Z, kernel: Callable,
+                   lengthscale_constraints=None):
+    """Sparse-GP collapsed variational bound (Titsias 2009, SGPR) as the
+    negative objective. Z are the inducing inputs (m, d).
+
+    Replaces gpytorch's InducingPointKernel ('sparse') and serves as the
+    TPU-native stand-in for KISS-GP grid interpolation ('kissgp' maps to a
+    regular inducing grid) — reference `atomai/nets/gp.py:63-131`.
+    """
+    ls, os_, noise, mean = _hyp(params, lengthscale_constraints)
+    n = X.shape[0]
+    m = Z.shape[0]
+    lsb, osb = (ls[None], os_[None]) if ls.ndim == 1 else (ls, os_)
+    sigma2 = noise + 1e-4
+    # jitter scaled by the kernel amplitude: near-flat kernels (large
+    # lengthscales) make Kmm numerically singular otherwise
+    Kmm = kernel(Z, Z, lsb, osb)[0] + \
+        (JITTER + 1e-4 * osb[0]) * jnp.eye(m)
+    Kmn = kernel(Z, X, lsb, osb)[0]
+    L = jnp.linalg.cholesky(Kmm)
+    A = jax.scipy.linalg.solve_triangular(L, Kmn, lower=True) / \
+        jnp.sqrt(sigma2)                                     # (m, n)
+    B = jnp.eye(m) + A @ A.T
+    LB = jnp.linalg.cholesky(B)
+    resid = (y - mean) / jnp.sqrt(sigma2)
+    c = jax.scipy.linalg.solve_triangular(LB, A @ resid, lower=True)
+    knn_diag = osb[0] * jnp.ones(n)
+    qnn_diag = sigma2 * jnp.sum(A * A, axis=0)
+    bound = (-0.5 * n * jnp.log(2 * jnp.pi * sigma2)
+             - jnp.sum(jnp.log(jnp.diagonal(LB)))
+             - 0.5 * jnp.sum(resid * resid)
+             + 0.5 * jnp.sum(c * c)
+             - 0.5 / sigma2 * (jnp.sum(knn_diag) - jnp.sum(qnn_diag)))
+    return -bound / n
+
+
+def sparse_posterior_cache(params, X, y, Z, kernel: Callable,
+                           lengthscale_constraints=None):
+    """Precomputed quantities for SGPR posterior evaluation."""
+    ls, os_, noise, mean = _hyp(params, lengthscale_constraints)
+    m = Z.shape[0]
+    lsb, osb = (ls[None], os_[None]) if ls.ndim == 1 else (ls, os_)
+    sigma2 = noise + 1e-4
+    Kmm = kernel(Z, Z, lsb, osb)[0] + \
+        (JITTER + 1e-4 * osb[0]) * jnp.eye(m)
+    Kmn = kernel(Z, X, lsb, osb)[0]
+    L = jnp.linalg.cholesky(Kmm)
+    A = jax.scipy.linalg.solve_triangular(L, Kmn, lower=True) / \
+        jnp.sqrt(sigma2)
+    B = jnp.eye(m) + A @ A.T
+    LB = jnp.linalg.cholesky(B)
+    resid = (y - mean) / jnp.sqrt(sigma2)
+    c = jax.scipy.linalg.solve_triangular(LB, A @ resid, lower=True)
+    return {"L": L, "LB": LB, "c": c, "mean": mean, "ls": lsb,
+            "os": osb, "Z": Z}
+
+
+def sparse_posterior(cache, Xs, kernel: Callable):
+    """SGPR predictive mean/variance at Xs."""
+    Kms = kernel(cache["Z"], Xs, cache["ls"], cache["os"])[0]   # (m, s)
+    tmp1 = jax.scipy.linalg.solve_triangular(cache["L"], Kms,
+                                             lower=True)        # (m, s)
+    tmp2 = jax.scipy.linalg.solve_triangular(cache["LB"], tmp1,
+                                             lower=True)
+    mean_s = cache["mean"] + tmp2.T @ cache["c"]
+    kss_diag = cache["os"][0] * jnp.ones(Xs.shape[0])
+    var_s = kss_diag - jnp.sum(tmp1 * tmp1, axis=0) + \
+        jnp.sum(tmp2 * tmp2, axis=0)
+    return mean_s, jnp.maximum(var_s, 1e-10)
+
+
+def make_inducing_grid(X, grid_points_ratio: float = 1.0,
+                       max_points: int = 1024) -> jnp.ndarray:
+    """Regular inducing grid over the input bounding box — the TPU-native
+    analog of gpytorch's choose_grid_size + grid interpolation
+    (`atomai/nets/gp.py:118-121`)."""
+    X = np.asarray(X)
+    d = X.shape[-1]
+    per_dim = max(2, int(round((max_points * grid_points_ratio)
+                               ** (1.0 / d))))
+    axes = [np.linspace(X[:, i].min(), X[:, i].max(), per_dim)
+            for i in range(d)]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, d)
+    return jnp.asarray(grid, jnp.float32)
+
+
 def posterior(params, X, y, Xs, kernel: Callable,
               lengthscale_constraints=None, full_cov: bool = False):
     """Latent-function posterior at Xs given training data (X, y)."""
@@ -132,10 +219,13 @@ class GPTrainer:
         self.X = self.y = None
         self.kernel = KERNELS["rbf"]
         self.lengthscale_constraints = None
+        self.kernel_type = "exact"
+        self.inducing_points = None
         self.training_cycles = 1
         self.tx = None
         self.opt_state = None
         self._fit_chunk = None
+        self._post_cache = None
 
     def set_data(self, x, y=None, device=None):
         """Casts to float32 jnp arrays (reference `gptrainer.py:36-59`)."""
@@ -148,7 +238,11 @@ class GPTrainer:
         return x, y
 
     def compile_trainer(self, X, y, training_cycles: int = 1, **kwargs):
-        """(reference `gptrainer.py:59-96`)"""
+        """(reference `gptrainer.py:59-96`). ``kernel_type``: 'exact'
+        (default for <= max_exact points), 'sparse' (inducing-point SGPR,
+        pass ``inducing_points`` or a count via ``num_inducing``), or
+        'kissgp' (SGPR on a regular inducing grid sized by
+        ``grid_points_ratio``)."""
         self.X, self.y = self.set_data(X, y)
         base_kernel = kwargs.get("base_kernel", "rbf")
         if isinstance(base_kernel, str):
@@ -157,6 +251,23 @@ class GPTrainer:
             self.kernel = base_kernel
         self.lengthscale_constraints = kwargs.get(
             "lengthscale_constraints")
+        self.kernel_type = kwargs.get("kernel_type", "exact")
+        self.inducing_points = None
+        if self.kernel_type == "sparse":
+            Z = kwargs.get("inducing_points")
+            if Z is None:
+                m = min(kwargs.get("num_inducing", 512),
+                        self.X.shape[0])
+                idx = np.random.RandomState(self.seed).choice(
+                    self.X.shape[0], m, replace=False)
+                Z = self.X[jnp.asarray(idx)]
+            self.inducing_points = jnp.asarray(np.asarray(Z), jnp.float32)
+        elif self.kernel_type == "kissgp":
+            self.inducing_points = make_inducing_grid(
+                self.X, kwargs.get("grid_points_ratio", 1.0))
+        elif self.kernel_type != "exact":
+            raise ValueError(
+                "kernel_type must be 'exact', 'sparse' or 'kissgp'")
         d = self.X.shape[-1]
         b = self.y.shape[0]
         self.gp_params = init_gp_params(d, (b,) if b > 1 else ())
@@ -168,14 +279,19 @@ class GPTrainer:
         self._fit_chunk = None
 
     def _loss_fn(self, params):
+        if self.inducing_points is not None:
+            def one(p, yy):
+                return neg_mll_sparse(p, self.X, yy,
+                                      self.inducing_points, self.kernel,
+                                      self.lengthscale_constraints)
+        else:
+            def one(p, yy):
+                return neg_mll(p, self.X, yy, self.kernel,
+                               self.lengthscale_constraints)
         if self.y.shape[0] == 1:
-            return neg_mll(params, self.X, self.y[0], self.kernel,
-                           self.lengthscale_constraints)
+            return one(params, self.y[0])
         # batched outputs: sum of per-output MLLs
-        losses = jax.vmap(
-            lambda p, yy: neg_mll(p, self.X, yy, self.kernel,
-                                  self.lengthscale_constraints)
-        )(params, self.y)
+        losses = jax.vmap(one)(params, self.y)
         return jnp.sum(losses)
 
     def _build_fit_chunk(self):
@@ -248,25 +364,31 @@ class GPTrainer:
         Cholesky factorization is computed once per fit and reused across
         predict calls/batches."""
         Xs, _ = self.set_data(Xs)
+        sparse = self.inducing_points is not None
         cache = getattr(self, "_post_cache", None)
         if cache is None:
-            if self.y.shape[0] == 1:
-                cache = posterior_cache(
-                    self.gp_params, self.X, self.y[0], self.kernel,
+            if sparse:
+                cache_fn = lambda p, yy: sparse_posterior_cache(
+                    p, self.X, yy, self.inducing_points, self.kernel,
                     self.lengthscale_constraints)
             else:
-                cache = jax.vmap(
-                    lambda p, yy: posterior_cache(
-                        p, self.X, yy, self.kernel,
-                        self.lengthscale_constraints)
-                )(self.gp_params, self.y)
+                cache_fn = lambda p, yy: posterior_cache(
+                    p, self.X, yy, self.kernel,
+                    self.lengthscale_constraints)
+            if self.y.shape[0] == 1:
+                cache = cache_fn(self.gp_params, self.y[0])
+            else:
+                cache = jax.vmap(cache_fn)(self.gp_params, self.y)
             self._post_cache = cache
+        if sparse:
+            post_fn = lambda c: sparse_posterior(c, Xs, self.kernel)
+        else:
+            post_fn = lambda c: posterior_from_cache(c, self.X, Xs,
+                                                     self.kernel)
         if self.y.shape[0] == 1:
-            m, v = posterior_from_cache(cache, self.X, Xs, self.kernel)
+            m, v = post_fn(cache)
             return np.asarray(m), np.asarray(v)
-        m, v = jax.vmap(
-            lambda c: posterior_from_cache(c, self.X, Xs, self.kernel)
-        )(cache)
+        m, v = jax.vmap(post_fn)(cache)
         return np.asarray(m), np.asarray(v)
 
 

@@ -103,3 +103,35 @@ def test_reconstructor():
     out = rec.reconstruct(img, training_cycles=100, print_loss=100)
     assert out.shape == (20, 20)
     assert np.abs(out - true).mean() < 0.15
+
+
+@pytest.mark.parametrize("kernel_type,kw", [
+    ("sparse", {"num_inducing": 64}),
+    ("kissgp", {"grid_points_ratio": 0.1}),
+])
+def test_sparse_gp_matches_exact(gp_data, kernel_type, kw):
+    X, y = gp_data
+    X2 = X[:, :2]
+    exact = GPTrainer()
+    exact.run(X2, y, training_cycles=40, print_loss=40)
+    m_e, _ = exact.predict(X2[:40])
+    sp = GPTrainer()
+    sp.run(X2, y, training_cycles=40, print_loss=40,
+           kernel_type=kernel_type, **kw)
+    m_s, v_s = sp.predict(X2[:40])
+    assert (v_s > 0).all()
+    # sparse approximation should track the exact posterior closely
+    err = np.abs(m_s - m_e).mean() / max(np.abs(m_e).mean(), 1e-6)
+    assert err < 0.35
+
+
+def test_reconstructor_sparse_path():
+    rng = np.random.RandomState(1)
+    yy, xx = np.mgrid[:24, :24]
+    true = np.sin(yy / 4.0) * np.cos(xx / 4.0)
+    img = np.where(rng.rand(24, 24) > 0.5, true, 0.0).astype(np.float32)
+    rec = Reconstructor()
+    rec.MAX_EXACT_POINTS = 100  # force the inducing-grid path
+    out = rec.reconstruct(img, training_cycles=120, print_loss=120)
+    assert np.isfinite(out).all()
+    assert np.abs(out - true).mean() < 0.2
