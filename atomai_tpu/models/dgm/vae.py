@@ -91,16 +91,25 @@ class BaseVAE(viBaseTrainer):
 
     # --------------------------------------------------------- inference
     def _encode_apply(self, x):
-        out = self.encoder_net.apply({"params": self.params["encoder"]},
-                                     x, False)
-        return out
+        if not hasattr(self, "_jit_enc") or self._jit_enc is None:
+            enc = self.encoder_net
+            self._jit_enc = jax.jit(
+                lambda p, x: enc.apply({"params": p}, x, False))
+        return self._jit_enc(self.params["encoder"], x)
 
     def _decode_apply(self, z, x_coord=None):
+        if not hasattr(self, "_jit_dec") or self._jit_dec is None:
+            dec = self.decoder_net
+            if self.coord:
+                self._jit_dec = jax.jit(
+                    lambda p, xc, z: dec.apply({"params": p}, xc, z,
+                                               False))
+            else:
+                self._jit_dec = jax.jit(
+                    lambda p, z: dec.apply({"params": p}, z, False))
         if self.coord:
-            return self.decoder_net.apply(
-                {"params": self.params["decoder"]}, x_coord, z, False)
-        return self.decoder_net.apply(
-            {"params": self.params["decoder"]}, z, False)
+            return self._jit_dec(self.params["decoder"], x_coord, z)
+        return self._jit_dec(self.params["decoder"], z)
 
     def encode_(self, x_new, **kwargs) -> np.ndarray:
         """Encodes data; returns concatenated encoder outputs

@@ -85,20 +85,31 @@ class dklGPR(dklGPTrainer):
         return super().run(X, y, training_cycles, **kwargs)
 
     def _posteriors(self, Xs, full_cov: bool = False):
-        """Per-output posterior(s) at Xs (cached train factorization)."""
+        """Per-output posterior(s) at Xs (cached train factorization,
+        jitted evaluation)."""
         caches, z_trains = self._get_cache()
-        if self.correlated_output:
-            z_s = self._embed_fn(self.fe_params, Xs)
-            return jax.vmap(
-                lambda c, zt: posterior_from_cache(
-                    c, zt, z_s, self.kernel, full_cov=full_cov)
-            )(caches, z_trains)
-
-        def one(fe_i, c, zt):
-            z_s = self._embed_fn(fe_i, Xs)
-            return posterior_from_cache(c, zt, z_s, self.kernel,
-                                        full_cov=full_cov)
-        return jax.vmap(one)(self.fe_params, caches, z_trains)
+        jit_key = ("post", full_cov, self.correlated_output)
+        fn = getattr(self, "_jit_posteriors", {}).get(jit_key)
+        if fn is None:
+            if self.correlated_output:
+                def raw(fe_params, caches, z_trains, Xs):
+                    z_s = self._embed_fn(fe_params, Xs)
+                    return jax.vmap(
+                        lambda c, zt: posterior_from_cache(
+                            c, zt, z_s, self.kernel, full_cov=full_cov)
+                    )(caches, z_trains)
+            else:
+                def raw(fe_params, caches, z_trains, Xs):
+                    def one(fe_i, c, zt):
+                        z_s = self._embed_fn(fe_i, Xs)
+                        return posterior_from_cache(
+                            c, zt, z_s, self.kernel, full_cov=full_cov)
+                    return jax.vmap(one)(fe_params, caches, z_trains)
+            fn = jax.jit(raw)
+            if not hasattr(self, "_jit_posteriors"):
+                self._jit_posteriors = {}
+            self._jit_posteriors[jit_key] = fn
+        return fn(self.fe_params, caches, z_trains, Xs)
 
     def sample_from_posterior(self, X, num_samples: int = 1000
                               ) -> np.ndarray:

@@ -585,10 +585,11 @@ class BaseTrainer:
     def eval_model(self) -> None:
         """Evaluates the model on the full test set
         (reference `trainer.py:289-325`)."""
+        jit_eval = jax.jit(self._apply_eval)
         losses, accs = [], []
         for i in range(self.Xb_test.shape[0]):
-            out = self._apply_eval(self.params, self.batch_stats,
-                                   self.Xb_test[i])
+            out = jit_eval(self.params, self.batch_stats,
+                           self.Xb_test[i])
             losses.append(float(self.criterion(out, self.yb_test[i])))
             if self._has_accuracy():
                 accs.append(float(self.accuracy_fn(self.yb_test[i], out)))

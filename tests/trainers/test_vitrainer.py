@@ -1,0 +1,65 @@
+"""viBaseTrainer extension contract (reference model:
+`test/trainers/test_vitrainer.py:26-48` — a minimal VAE subclass defined
+in-test validates the abstract trainer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atomai_tpu.nets import fcEncoderNet, fcDecoderNet
+from atomai_tpu.trainers import viBaseTrainer
+from atomai_tpu.losses_metrics import reconstruction_loss, kld_normal
+
+
+class SimpleVAE(viBaseTrainer):
+    """Minimal VAE built directly on the abstract VI trainer."""
+
+    def __init__(self, in_dim=(8, 8), latent_dim=2):
+        super().__init__()
+        self.in_dim = in_dim
+        self.z_dim = latent_dim
+        self.coord = 0
+        self.set_model(fcEncoderNet(in_dim, latent_dim, hidden_dim=16),
+                       fcDecoderNet(in_dim, latent_dim, hidden_dim=16))
+
+    def forward_compute_elbo_fn(self, params, x, y, key, num_iter,
+                                train):
+        z_mean, z_logsd = self.encoder_net.apply(
+            {"params": params["encoder"]}, x, train)
+        z = self.reparameterize(key, z_mean, jnp.exp(z_logsd))
+        xr = self.decoder_net.apply({"params": params["decoder"]}, z,
+                                    train)
+        likelihood = -jnp.mean(
+            reconstruction_loss("mse", self.in_dim, x, xr))
+        kld = jnp.mean(kld_normal([z_mean, z_logsd]))
+        return likelihood - kld
+
+
+def test_custom_vitrainer_subclass_trains():
+    rng = np.random.RandomState(0)
+    X = rng.rand(32, 8, 8).astype(np.float32)
+    vae = SimpleVAE()
+    vae.compile_trainer((X, None), (X[:8], None), training_cycles=3,
+                        batch_size=8, filename="/tmp/aoi_simple_vae")
+    elbos = [vae.train_epoch() for _ in range(3)]
+    assert np.isfinite(elbos).all()
+    assert elbos[-1] > elbos[0]  # ELBO increases
+    test_elbo = vae.evaluate_model()
+    assert np.isfinite(test_elbo)
+
+
+def test_reparameterize_moments():
+    key = jax.random.key(0)
+    mean = jnp.full((2000, 2), 1.5)
+    sd = jnp.full((2000, 2), 0.5)
+    z = viBaseTrainer.reparameterize(key, mean, sd)
+    assert abs(float(z.mean()) - 1.5) < 0.05
+    assert abs(float(z.std()) - 0.5) < 0.05
+
+
+def test_reparameterize_discrete_simplex():
+    key = jax.random.key(0)
+    alpha = jax.nn.softmax(jnp.asarray(
+        np.random.RandomState(0).randn(16, 4)), axis=1)
+    z = viBaseTrainer.reparameterize_discrete(key, alpha, tau=0.67)
+    np.testing.assert_allclose(np.asarray(z.sum(1)), 1.0, atol=1e-5)

@@ -1,0 +1,113 @@
+"""Image-utility tests (reference model: `test/utils/test_img.py`)."""
+
+import numpy as np
+import pytest
+
+from atomai_tpu.utils import (crop_borders, cv_thresh, extract_patches,
+                              extract_patches_and_spectra,
+                              extract_subimages, filter_cells, FFTmask,
+                              FFTsub, get_blob_params, get_contours,
+                              get_coord_grid, get_imgstack, img_pad,
+                              img_resize, threshImg)
+
+
+def test_img_pad_to_multiple():
+    x = np.ones((2, 30, 29))
+    out = img_pad(x, 8)
+    assert out.shape == (2, 32, 32)
+    np.testing.assert_array_equal(out[:, 30:, :], 0)
+
+
+def test_img_pad_noop():
+    x = np.ones((2, 32, 32))
+    assert img_pad(x, 8).shape == (2, 32, 32)
+
+
+def test_img_resize():
+    x = np.random.rand(2, 16, 16)
+    out = img_resize(x, (32, 32))
+    assert out.shape == (2, 32, 32)
+
+
+def test_get_imgstack_filters_edges():
+    img = np.random.rand(32, 32, 1)
+    coord = np.array([[16.0, 16.0], [1.0, 1.0]])  # 2nd too close to edge
+    stack, com = get_imgstack(img, coord, 8)
+    assert stack.shape == (1, 8, 8, 1)
+    np.testing.assert_array_equal(com[0], [16.0, 16.0])
+
+
+def test_extract_subimages_dict():
+    imgs = np.random.rand(2, 32, 32, 1)
+    coords = {i: np.array([[16.0, 16.0, 0.0], [20.0, 12.0, 1.0]])
+              for i in range(2)}
+    sub, com, frames = extract_subimages(imgs, coords, 8, coord_class=0)
+    assert sub.shape == (2, 8, 8, 1)
+    assert set(frames.tolist()) == {0, 1}
+
+
+def test_extract_patches_pairs():
+    img = np.random.rand(64, 64)
+    mask = (img > .5).astype(float)
+    ims, ms = extract_patches(img, mask, 16, 10, random_state=1)
+    assert ims.shape == (10, 16, 16)
+    # image/mask patches must be cut at identical positions
+    np.testing.assert_array_equal((ims > .5).astype(float), ms)
+
+
+def test_extract_patches_and_spectra():
+    cube = np.random.rand(32, 32, 16)
+    img = cube.mean(-1)
+    coords = np.array([[16.0, 16.0], [10.0, 20.0]])
+    patches, spectra, out_coords = extract_patches_and_spectra(
+        cube, img, coordinates=coords, window_size=8, avg_pool=2)
+    assert patches.shape[0] == spectra.shape[0] == len(out_coords)
+    assert spectra.shape[-1] == 8  # 16 / avg_pool
+
+
+def test_fft_defect_tooling():
+    img = np.random.rand(64, 64)
+    F2, F3 = FFTmask(img, maskratio=8)
+    diff = FFTsub(img, F3)
+    assert diff.min() >= 0 and diff.max() <= 1
+    defects = threshImg(diff, 0.25, 0.75)
+    assert defects.dtype == bool
+
+
+def test_crop_borders():
+    img = np.zeros((16, 16, 1))
+    img[4:12, 4:12, 0] = 1.0
+    out = crop_borders(img, thresh=0)
+    assert out.shape == (8, 8, 1)
+
+
+def test_coord_grid_dict_format():
+    imgs = np.random.rand(2, 16, 16)
+    d = get_coord_grid(imgs, step=4, return_dict=True)
+    assert set(d.keys()) == {0, 1}
+    assert d[0].shape[-1] == 3
+
+
+def test_cv_thresh_strictly_greater():
+    x = np.array([[0.4, 0.5, 0.6]])
+    np.testing.assert_array_equal(cv_thresh(x, 0.5), [[0, 0, 1]])
+
+
+def test_filter_cells_removes_small_blobs():
+    img = np.zeros((32, 32))
+    img[2:4, 2:4] = 1           # 4 px blob
+    img[10:20, 10:20] = 1       # 100 px blob
+    out = filter_cells(img[None], im_thresh=.5, blob_thresh=50,
+                       filter_="below")[0]
+    assert out[12, 12] == 1
+    assert out[2, 2] == 0
+
+
+def test_get_contours_and_blob_params():
+    img = np.zeros((32, 32))
+    img[10:20, 10:18] = 1
+    contours = get_contours(img)
+    assert len(contours) == 1
+    assert contours[0].shape[-1] == 2
+    blobs = get_blob_params(img[None, ..., None], 0.5, 10)
+    assert blobs[0]["coordinates"] is not None
