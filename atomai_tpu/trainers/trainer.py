@@ -585,7 +585,10 @@ class BaseTrainer:
     def eval_model(self) -> None:
         """Evaluates the model on the full test set
         (reference `trainer.py:289-325`)."""
-        jit_eval = jax.jit(self._apply_eval)
+        jit_eval = getattr(self, "_jit_eval_apply", None)
+        if jit_eval is None:
+            jit_eval = jax.jit(self._apply_eval)
+            self._jit_eval_apply = jit_eval
         losses, accs = [], []
         for i in range(self.Xb_test.shape[0]):
             out = jit_eval(self.params, self.batch_stats,
