@@ -93,7 +93,10 @@ def blob_centers(mask: jnp.ndarray, max_blobs: int = 2048
         valid: (max_blobs,) bool validity mask.
     """
     H, W = mask.shape
-    lab = label_components(mask)
+    # in-VMEM Pallas labeling on TPU for images that fit; XLA while-loop
+    # otherwise (see atomai_tpu/ops/pallas_cc.py)
+    from .pallas_cc import label_components_auto
+    lab = label_components_auto(mask)
     flat_lab = lab.reshape(-1)
     n_seg = H * W + 1
     flat_lab = jnp.minimum(flat_lab, H * W)

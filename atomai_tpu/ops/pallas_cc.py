@@ -28,8 +28,11 @@ def _cc_kernel(mask_ref, lab_out_ref, *, max_iters: int):
     H, W = mask_ref.shape
     big = float(H * W)
     fg = mask_ref[:] > 0
-    row_ids = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    # Mosaic requires integer iota; cast to f32 afterwards
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0
+                                       ).astype(jnp.float32)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1
+                                       ).astype(jnp.float32)
     init = jnp.where(fg, row_ids * W + col_ids, big)
 
     def sweep(lab):
