@@ -176,13 +176,9 @@ class EnsemblePredictor(BasePredictor):
             raise ValueError(
                 "Specify channel_last or channel_first output format")
         data = self.preprocess(data, norm)
-        if self.data_type == "image":
-            data_fwd = data  # NHWC
-        else:
-            data_fwd = data
         if not self.output_shape:
             self._set_output_shape(data)
-        mean, var = self.ensemble_batch_predict(data_fwd, num_batches)
+        mean, var = self.ensemble_batch_predict(data, num_batches)
         if format_out == "channel_first":
             axes = (0, mean.ndim - 1, *range(1, mean.ndim - 1))
             mean = mean.transpose(axes)

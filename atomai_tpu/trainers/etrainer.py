@@ -17,7 +17,6 @@ MODEL_AXIS).
 """
 
 import warnings
-from copy import deepcopy as dc
 from typing import Any, Dict, Optional, Union
 
 import jax
@@ -70,7 +69,6 @@ class BaseEnsembleTrainer(BaseTrainer):
         criterion = self.criterion
         has_bn = self.batch_stats is not None
         Xb, yb = self.Xb_train, self.yb_train
-        Xb_t, yb_t = self.Xb_test, self.yb_test
         nb = int(Xb.shape[0])
 
         # per-member init
