@@ -66,17 +66,19 @@ class dklGPR(dklGPTrainer):
             return cache
         gp = self.gp_params
         if self.correlated_output:
-            z_train = self._embed_fn(self.fe_params, self.X)
+            z_train = self._embed_fn(self.fe_params, self.X,
+                                     self.scale_stats)
             caches = jax.vmap(
                 lambda p, yy: posterior_cache(p, z_train, yy,
                                               self.kernel))(gp, self.y)
             z_trains = jnp.broadcast_to(
                 z_train, (self.y.shape[0],) + z_train.shape)
         else:
-            def one(fe_i, gp_i, y_i):
-                z = self._embed_fn(fe_i, self.X)
+            def one(fe_i, gp_i, y_i, st_i):
+                z = self._embed_fn(fe_i, self.X, st_i)
                 return posterior_cache(gp_i, z, y_i, self.kernel), z
-            caches, z_trains = jax.vmap(one)(self.fe_params, gp, self.y)
+            caches, z_trains = jax.vmap(one)(self.fe_params, gp, self.y,
+                                             self.scale_stats)
         self._post_cache = (caches, z_trains)
         return self._post_cache
 
@@ -92,24 +94,25 @@ class dklGPR(dklGPTrainer):
         fn = getattr(self, "_jit_posteriors", {}).get(jit_key)
         if fn is None:
             if self.correlated_output:
-                def raw(fe_params, caches, z_trains, Xs):
-                    z_s = self._embed_fn(fe_params, Xs)
+                def raw(fe_params, caches, z_trains, Xs, stats):
+                    z_s = self._embed_fn(fe_params, Xs, stats)
                     return jax.vmap(
                         lambda c, zt: posterior_from_cache(
                             c, zt, z_s, self.kernel, full_cov=full_cov)
                     )(caches, z_trains)
             else:
-                def raw(fe_params, caches, z_trains, Xs):
-                    def one(fe_i, c, zt):
-                        z_s = self._embed_fn(fe_i, Xs)
+                def raw(fe_params, caches, z_trains, Xs, stats):
+                    def one(fe_i, c, zt, st_i):
+                        z_s = self._embed_fn(fe_i, Xs, st_i)
                         return posterior_from_cache(
                             c, zt, z_s, self.kernel, full_cov=full_cov)
-                    return jax.vmap(one)(fe_params, caches, z_trains)
+                    return jax.vmap(one)(fe_params, caches, z_trains,
+                                         stats)
             fn = jax.jit(raw)
             if not hasattr(self, "_jit_posteriors"):
                 self._jit_posteriors = {}
             self._jit_posteriors[jit_key] = fn
-        return fn(self.fe_params, caches, z_trains, Xs)
+        return fn(self.fe_params, caches, z_trains, Xs, self.scale_stats)
 
     def sample_from_posterior(self, X, num_samples: int = 1000
                               ) -> np.ndarray:
@@ -150,9 +153,9 @@ class dklGPR(dklGPTrainer):
 
     def _embed(self, x_new):
         if self.correlated_output:
-            return self._embed_fn(self.fe_params, x_new)
-        embs = jax.vmap(lambda fe_i: self._embed_fn(fe_i, x_new))(
-            self.fe_params)
+            return self._embed_fn(self.fe_params, x_new, self.scale_stats)
+        embs = jax.vmap(lambda fe_i, st_i: self._embed_fn(
+            fe_i, x_new, st_i))(self.fe_params, self.scale_stats)
         return jnp.moveaxis(embs, 0, -1)  # (n, embedim, b)
 
     def embed(self, x_new, **kwargs) -> np.ndarray:

@@ -34,11 +34,26 @@ class fcFeatureExtractor(nn.Module):
         return x
 
 
-def scale_to_bounds(x, lb: float = -1.0, ub: float = 1.0, eps: float = 1e-8):
+def compute_bounds_stats(x):
+    """Per-dim min/max over the point axis — the train-time statistics of
+    gpytorch's ScaleToBounds (which stores them in train mode and reuses
+    them in eval mode)."""
+    return (jnp.min(x, axis=-2, keepdims=True),
+            jnp.max(x, axis=-2, keepdims=True))
+
+
+def scale_to_bounds(x, lb: float = -1.0, ub: float = 1.0, eps: float = 1e-8,
+                    stats=None):
     """Min-max scales features into [lb, ub] (gpytorch ScaleToBounds
-    equivalent used at `atomai/nets/gp.py:48`)."""
-    xmin = jnp.min(x, axis=-2, keepdims=True)
-    xmax = jnp.max(x, axis=-2, keepdims=True)
+    equivalent used at `atomai/nets/gp.py:48`).
+
+    ``stats``: optional (xmin, xmax) computed on the TRAINING embedding via
+    :func:`compute_bounds_stats`. Must be passed when scaling test/candidate
+    embeddings so they share the training affine transform — rescaling per
+    prediction batch would make predictions depend on batch composition
+    (and collapse entirely for batch_size=1).
+    """
+    xmin, xmax = compute_bounds_stats(x) if stats is None else stats
     x01 = (x - xmin) / jnp.maximum(xmax - xmin, eps)
     return lb + (ub - lb) * x01
 
@@ -94,6 +109,25 @@ def matern52_kernel(x1, x2, lengthscale, outputscale):
 
 
 KERNELS = {"rbf": rbf_kernel, "matern": matern52_kernel}
+
+
+def kernel_diag(kernel, X, lengthscale, outputscale):
+    """diag(kernel(X, X)) without forming the n x n matrix.
+
+    Returns shape ``batch_shape + (n,)`` where ``batch_shape`` comes from the
+    hyperparameters (e.g. ``(1, n)`` for ``lengthscale`` of shape ``(1, d)``).
+    The built-in stationary kernels have a constant diagonal equal to the
+    outputscale, which is used as a fast path; user-supplied kernel callables
+    get the general per-point evaluation (the reference delegates this to
+    gpytorch, which evaluates the kernel's own diagonal).
+    """
+    if kernel in (rbf_kernel, matern52_kernel):
+        n = X.shape[-2]
+        return jnp.broadcast_to(outputscale[..., None],
+                                outputscale.shape + (n,))
+    def one(x):
+        return kernel(x[None], x[None], lengthscale, outputscale)[..., 0, 0]
+    return jax.vmap(one, out_axes=-1)(X)
 
 
 def init_gp_params(input_dim: int, batch_shape: Tuple[int, ...] = (),

@@ -28,8 +28,9 @@ import numpy as np
 import optax
 
 from ..core.prng import KeySeq
-from ..nets.gp import (KERNELS, constrain, fcFeatureExtractor,
-                       init_gp_params, scale_to_bounds, softplus)
+from ..nets.gp import (KERNELS, compute_bounds_stats, constrain,
+                       fcFeatureExtractor, init_gp_params, kernel_diag,
+                       scale_to_bounds, softplus)
 
 JITTER = 1e-5
 
@@ -91,7 +92,7 @@ def posterior_from_cache(cache, X, Xs, kernel: Callable,
     if full_cov:
         Kss = kernel(Xs, Xs, cache["ls"], cache["os"])[0]
         return mean_s, Kss - v.T @ v
-    kss_diag = cache["os"][0] * jnp.ones(Xs.shape[0])
+    kss_diag = kernel_diag(kernel, Xs, cache["ls"], cache["os"])[0]
     var_s = jnp.maximum(kss_diag - jnp.sum(v * v, axis=0), 1e-10)
     return mean_s, var_s
 
@@ -122,7 +123,7 @@ def neg_mll_sparse(params, X, y, Z, kernel: Callable,
     LB = jnp.linalg.cholesky(B)
     resid = (y - mean) / jnp.sqrt(sigma2)
     c = jax.scipy.linalg.solve_triangular(LB, A @ resid, lower=True)
-    knn_diag = osb[0] * jnp.ones(n)
+    knn_diag = kernel_diag(kernel, X, lsb, osb)[0]
     qnn_diag = sigma2 * jnp.sum(A * A, axis=0)
     bound = (-0.5 * n * jnp.log(2 * jnp.pi * sigma2)
              - jnp.sum(jnp.log(jnp.diagonal(LB)))
@@ -161,7 +162,7 @@ def sparse_posterior(cache, Xs, kernel: Callable):
     tmp2 = jax.scipy.linalg.solve_triangular(cache["LB"], tmp1,
                                              lower=True)
     mean_s = cache["mean"] + tmp2.T @ cache["c"]
-    kss_diag = cache["os"][0] * jnp.ones(Xs.shape[0])
+    kss_diag = kernel_diag(kernel, Xs, cache["ls"], cache["os"])[0]
     var_s = kss_diag - jnp.sum(tmp1 * tmp1, axis=0) + \
         jnp.sum(tmp2 * tmp2, axis=0)
     return mean_s, jnp.maximum(var_s, 1e-10)
@@ -200,7 +201,7 @@ def posterior(params, X, y, Xs, kernel: Callable,
         Kss = kernel(Xs, Xs, lsb, osb)[0]
         cov = Kss - v.T @ v
         return mean_s, cov
-    kss_diag = osb[0] * jnp.ones(Xs.shape[0])
+    kss_diag = kernel_diag(kernel, Xs, lsb, osb)[0]
     var_s = jnp.maximum(kss_diag - jnp.sum(v * v, axis=0), 1e-10)
     return mean_s, var_s
 
@@ -405,6 +406,10 @@ class dklGPTrainer(GPTrainer):
         self.fe = None
         self.fe_params = None
         self.freeze_weights = False
+        # Train-time min/max of the embedding (gpytorch ScaleToBounds
+        # stores these in train mode and reuses them in eval mode); set
+        # after each run(). None -> per-batch scaling (training only).
+        self.scale_stats = None
 
     # ------------------------------------------------------------ common
     def _init_fe(self, feature_net=None, n_copies: int = 1,
@@ -428,9 +433,24 @@ class dklGPTrainer(GPTrainer):
         trees = [dict(self.fe.init(k, x0))["params"] for k in keys]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
-    def _embed_fn(self, fe_params, X):
+    def _embed_fn(self, fe_params, X, stats=None):
         z = self.fe.apply({"params": fe_params}, X)
-        return scale_to_bounds(z)
+        return scale_to_bounds(z, stats=stats)
+
+    def _compute_scale_stats(self):
+        """Stores the train-set embedding min/max so eval-time embeddings
+        (test/candidate points, arbitrary prediction batch sizes) share the
+        training affine transform. Fixes prediction-batch dependence —
+        degenerate at batch_size=1, where per-batch scaling collapses every
+        point to a constant embedding."""
+        if self.correlated_output:
+            z = self.fe.apply({"params": self.fe_params}, self.X)
+            self.scale_stats = compute_bounds_stats(z)
+        else:
+            def one(fe_i):
+                z = self.fe.apply({"params": fe_i}, self.X)
+                return compute_bounds_stats(z)
+            self.scale_stats = jax.vmap(one)(self.fe_params)
 
     # ---------------------------------------------------------- compile
     def compile_trainer(self, X, y, training_cycles: int = 1, **kwargs):
@@ -524,6 +544,7 @@ class dklGPTrainer(GPTrainer):
         self.gp_params = params["gp"]
         if "fe" in params:
             self.fe_params = params["fe"]
+        self._compute_scale_stats()
         return self
 
     def save_weights(self, filename: str) -> str:

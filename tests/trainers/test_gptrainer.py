@@ -135,3 +135,47 @@ def test_reconstructor_sparse_path():
     out = rec.reconstruct(img, training_cycles=120, print_loss=120)
     assert np.isfinite(out).all()
     assert np.abs(out - true).mean() < 0.2
+
+
+def test_dkl_predict_batch_invariant(gp_data):
+    """Eval-time embeddings must use the stored train-set ScaleToBounds
+    statistics: predictions may not depend on prediction-batch composition
+    (gpytorch parity; degenerate case is batch_size=1, where per-batch
+    min-max scaling would collapse every embedding to a constant)."""
+    X, y = gp_data
+    m = dklGPR(8, embedim=2)
+    m.fit(X, y, training_cycles=5, print_loss=5)
+    Xt = X[:6] + 0.1
+    mf, vf = m.predict(Xt)
+    m1, v1 = m.predict(Xt, batch_size=1)
+    assert np.allclose(mf, m1, atol=1e-5)
+    assert np.allclose(vf, v1, atol=1e-5)
+    assert np.std(m1) > 1e-6  # not collapsed
+    e_full = m.embed(Xt)
+    e_one = np.concatenate([m.embed(Xt[i:i + 1]) for i in range(6)], 0)
+    assert np.allclose(e_full, e_one, atol=1e-5)
+
+
+def test_custom_kernel_variance_uses_kernel_diag(gp_data):
+    """Predictive variance must come from the kernel's own diagonal, not a
+    hardcoded outputscale (wrong for user-supplied kernel callables)."""
+    from atomai_tpu.nets.gp import kernel_diag, rbf_kernel
+    import jax.numpy as jnp
+
+    def doubled(x1, x2, ls, os):
+        return 2.0 * rbf_kernel(x1, x2, ls, os)
+
+    ls = jnp.ones((1, 2))
+    os = jnp.ones((1,))
+    Xs = jnp.asarray(np.random.RandomState(0).randn(5, 2), jnp.float32)
+    d = kernel_diag(doubled, Xs, ls, os)
+    assert np.allclose(np.asarray(d), 2.0)
+    d_rbf = kernel_diag(rbf_kernel, Xs, ls, os)
+    assert np.allclose(np.asarray(d_rbf), 1.0)
+
+    X, y = gp_data
+    g = GPTrainer()
+    g.run(X[:, :2], y, training_cycles=10, print_loss=10,
+          base_kernel=doubled)
+    _, vv = g.predict(X[:10, :2])
+    assert (vv > 0).all()
