@@ -61,8 +61,14 @@ def load_model(filepath: str):
         discrete_dim = meta.get("discrete_dim")
         latent_dim = meta.get("latent_dim", 2)
         in_dim = tuple(meta["in_dim"])
+        # rotationally-invariant variants: the stored 'coord' field encodes
+        # translation (3 = angle+dx+dy, 1 = angle only); reconstructing with
+        # the wrong coord misaligns the encoder latent split vs the weights
+        if cls_name in ("rVAE", "jrVAE"):
+            kwargs["translation"] = meta.get("coord", 3) == 3
         if cls_name in ("jVAE", "jrVAE") and discrete_dim is not None:
-            model = vae_cls(in_dim, latent_dim, discrete_dim, **kwargs)
+            model = vae_cls(in_dim, latent_dim, discrete_dim,
+                            nb_classes=nb_classes, **kwargs)
         else:
             model = vae_cls(in_dim, latent_dim, nb_classes=nb_classes,
                             **kwargs)

@@ -379,8 +379,11 @@ def init_VAE_nets(in_dim: Tuple[int, ...], latent_dim: int, coord: int = 0,
     softplus_out = bool(kwargs.get("softplus_out") or False)
 
     discrete_dim_ = sum(discrete_dim) if discrete_dim else 0
-    nb_classes_ = nb_classes if discrete_dim_ == 0 else 0
-    dec_latent = latent_dim + discrete_dim_ + nb_classes_
+    # The reference zeroes nb_classes here when discrete latents are present
+    # (`atomai/nets/ed.py:749`), which contradicts its own jVAE/jrVAE forward
+    # that concatenates one-hot class targets to z — conditional joint VAEs
+    # crash upstream. We size the decoder for the actual forward input.
+    dec_latent = latent_dim + discrete_dim_ + nb_classes
 
     if not coord:
         dnet = convDecoderNet if conv_d else fcDecoderNet

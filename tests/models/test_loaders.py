@@ -5,8 +5,9 @@ import jax
 import numpy as np
 import pytest
 
-from atomai_tpu.models import (VAE, rVAE, jVAE, DenoisingAutoencoder,
-                               load_ensemble, load_model)
+from atomai_tpu.models import (VAE, rVAE, jVAE, jrVAE,
+                               DenoisingAutoencoder, load_ensemble,
+                               load_model)
 from atomai_tpu.trainers import EnsembleTrainer
 
 
@@ -37,6 +38,30 @@ def test_vae_save_load_roundtrip(cls, kw, imstack, tmp_path):
     assert _params_equal(vae.params, loaded.params)
     z = loaded.encode(imstack[:4])
     assert z[0].shape[0] == 4
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (rVAE, {"translation": False}),
+    (jrVAE, {"translation": False, "discrete_dim": [3]}),
+    (jrVAE, {"translation": True, "discrete_dim": [3], "nb_classes": 2}),
+])
+def test_rvae_load_restores_coord_and_classes(cls, kw, imstack, tmp_path):
+    """load_model must rebuild r-variants with the stored 'coord'
+    (translation) and nb_classes; a mismatch silently corrupts the
+    phi/dx/z latent split (reference parity: `loaders.py:67-148`)."""
+    vae = cls((16, 16), latent_dim=2, numhidden_encoder=16,
+              numhidden_decoder=16, **kw)
+    y = (np.arange(32) % 2 if kw.get("nb_classes") else None)
+    vae.fit(imstack, y, training_cycles=2, batch_size=16, verbose=False,
+            filename=str(tmp_path / "rv"))
+    path = vae.save_model(str(tmp_path / "rv_saved"))
+    loaded = load_model(path)
+    assert loaded.translation == vae.translation
+    assert loaded.coord == vae.coord
+    assert loaded.nb_classes == vae.nb_classes
+    z1, z2 = vae.encode(imstack[:4]), loaded.encode(imstack[:4])
+    for a, b in zip(z1, z2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_denoiser_save_load(imstack, tmp_path):
