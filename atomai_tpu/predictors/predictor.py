@@ -354,7 +354,11 @@ class Locator:
         # (N * n_cls, H, W) binary masks, all frames/classes at once
         masks = (nn_output[..., :n_cls] > self.threshold).astype(np.float32)
         masks = np.transpose(masks, (0, 3, 1, 2)).reshape(n * n_cls, h, w)
-        max_count = int(masks.sum(axis=(1, 2)).max() // 2 + 8)
+        # exact-safe static bound: under 4-connectivity the component count
+        # can equal the foreground pixel count (all-1px blobs), so bound by
+        # it — never silently drops atoms (reference `coords.py:21-34`
+        # semantics: scipy.ndimage.label never drops)
+        max_count = int(masks.sum(axis=(1, 2)).max()) + 1
         max_blobs = 1 << (max(8, min(max_count, h * w)) - 1).bit_length()
         coords, _, valid = blob_centers_stack(jnp.asarray(masks), max_blobs)
         coords = np.asarray(coords)

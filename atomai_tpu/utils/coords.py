@@ -35,7 +35,9 @@ def find_com(image_data: np.ndarray, max_blobs: Optional[int] = None
     """
     image_data = np.asarray(image_data)
     if max_blobs is None:
-        max_blobs = int(np.count_nonzero(image_data) // 2 + 8)
+        # exact-safe: component count <= foreground pixel count (every blob
+        # may be a single pixel under 4-connectivity)
+        max_blobs = int(np.count_nonzero(image_data)) + 1
         max_blobs = max(8, min(max_blobs, image_data.size))
         # round up to limit recompiles
         max_blobs = 1 << (max_blobs - 1).bit_length()

@@ -72,3 +72,29 @@ def test_locator_refine_runs():
     coords = loc.run(nn_output, imgs[..., None])
     assert coords[0].shape[1] == 3
     assert len(coords[0]) > 0
+
+
+def test_locator_no_silent_truncation_single_pixel_blobs():
+    """N isolated single-pixel atoms must yield exactly N coordinates:
+    under 4-connectivity the component count can equal the foreground
+    pixel count, so the static blob bound may not assume >= 2 px/blob
+    (scipy.ndimage.label never drops components)."""
+    h = w = 64
+    prob = np.zeros((1, h, w, 1), np.float32)
+    ys, xs = np.mgrid[8:h - 8:2, 8:w - 8:2]  # isolated pixels, spacing 2
+    prob[0, ys.ravel(), xs.ravel(), 0] = 1.0
+    n_atoms = ys.size
+    coords = Locator(threshold=0.5, dist_edge=1).run(prob)[0]
+    assert coords.shape[0] == n_atoms
+    got = {(int(r), int(c)) for r, c in coords[:, :2]}
+    expect = {(int(r), int(c)) for r, c in zip(ys.ravel(), xs.ravel())}
+    assert got == expect
+
+
+def test_find_com_no_silent_truncation():
+    from atomai_tpu.utils.coords import find_com
+    img = np.zeros((32, 32), np.float32)
+    ys, xs = np.mgrid[2:30:2, 2:30:2]
+    img[ys.ravel(), xs.ravel()] = 1.0
+    coords = find_com(img)
+    assert coords.shape[0] == ys.size
