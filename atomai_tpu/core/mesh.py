@@ -40,12 +40,17 @@ def get_mesh(n_data: Optional[int] = None, n_model: int = 1,
 
 def ensemble_mesh(n_models: int,
                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Mesh that shards ensemble members across all devices (model axis)."""
+    """Mesh that shards ensemble members across devices: the model axis is
+    the largest divisor of ``n_models`` that fits the device count, so the
+    member-stacked arrays always shard evenly."""
     if devices is None:
         devices = jax.devices()
     n_dev = len(devices)
-    n_model = min(n_models, n_dev) if n_models % min(n_models, n_dev) == 0 \
-        else 1
+    n_model = 1
+    for d in range(min(n_models, n_dev), 0, -1):
+        if n_models % d == 0:
+            n_model = d
+            break
     return get_mesh(n_data=n_dev // n_model, n_model=n_model,
                     devices=devices)
 

@@ -54,6 +54,20 @@ class EnsemblePredictor(BasePredictor):
         self.params_stack = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *members)
         self.n_models = len(members)
+        # shard members across devices (mesh=None auto-builds over all
+        # devices, mesh=False disables, or pass a jax.sharding.Mesh);
+        # the reference swaps state_dicts sequentially on one device
+        # (`epredictor.py:142-159`)
+        mesh = kwargs.get("mesh", None)
+        if mesh is None and jax.device_count() > 1:
+            from ..core.mesh import MODEL_AXIS, ensemble_mesh
+            m = ensemble_mesh(self.n_models)
+            mesh = m if m.shape[MODEL_AXIS] > 1 else False
+        self._mesh = mesh or None
+        if self._mesh is not None:
+            from ..trainers.etrainer import shard_member_stacked
+            self.params_stack = shard_member_stacked(self.params_stack,
+                                                     self._mesh)
         self.data_type = data_type
         self.output_type = output_type
         self.nb_classes = nb_classes
@@ -119,10 +133,18 @@ class EnsemblePredictor(BasePredictor):
                     out = jnp.exp(out)
             return out
 
-        @jax.jit
-        def ens_fwd(params_stack, x):
-            return jax.vmap(member_fwd, in_axes=(0, None))(params_stack, x)
-        return ens_fwd
+        vfwd = jax.vmap(member_fwd, in_axes=(0, None))
+        if self._mesh is not None:
+            # explicit SPMD over the member axis: each device runs its
+            # local members' forwards; input replicates (GSPMD cannot
+            # split the vmapped grouped convolutions)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            from ..core.mesh import MODEL_AXIS
+            vfwd = shard_map(vfwd, mesh=self._mesh,
+                             in_specs=(P(MODEL_AXIS), P()),
+                             out_specs=P(MODEL_AXIS), check_rep=False)
+        return jax.jit(vfwd)
 
     def ensemble_forward(self, data, out_shape=None, num_batches: int = 1
                          ) -> np.ndarray:

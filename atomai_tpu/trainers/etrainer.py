@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from ..core.checkpoint import save_checkpoint
+from ..core.mesh import MODEL_AXIS, ensemble_mesh
 from ..losses_metrics import iou_score
 from ..nets import init_fcnn_model, init_imspec_model
 from ..utils import preproc
@@ -40,6 +41,22 @@ def _unstack_tree(tree, n):
     return [jax.tree.map(lambda x: x[i], tree) for i in range(n)]
 
 
+def shard_member_stacked(tree, mesh):
+    """Places member-stacked pytrees with the leading (member) axis sharded
+    over the mesh MODEL axis; scalars replicate. This is the library-level
+    ensemble parallelism: the reference trains members sequentially on one
+    device (`atomai/trainers/etrainer.py:144-151`); here members both vmap
+    into one program AND spread across chips."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(leaf):
+        leaf = jnp.asarray(leaf)
+        spec = P(MODEL_AXIS, *([None] * (leaf.ndim - 1))) \
+            if leaf.ndim >= 1 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
 class BaseEnsembleTrainer(BaseTrainer):
     """Base class for deep ensemble training
     (reference `etrainer.py:29-298`)."""
@@ -53,11 +70,33 @@ class BaseEnsembleTrainer(BaseTrainer):
         self.kdict: Dict[str, Any] = {}
 
     def compile_ensemble_trainer(self, **kwargs) -> None:
-        """Stores compile kwargs (reference `etrainer.py:48-60`)."""
+        """Stores compile kwargs (reference `etrainer.py:48-60`).
+
+        ``mesh``: device mesh for member sharding — ``None`` (default)
+        auto-builds one over all devices when more than one is present,
+        ``False`` disables sharding, or pass a ``jax.sharding.Mesh``.
+        """
+        # member-sharding mesh; kept separate from BaseTrainer.mesh (the
+        # batch/DP mesh used by _shard_stacked)
+        self.member_mesh = kwargs.pop("mesh", None)
         self.kdict = kwargs
         self.full_epoch = self.kdict.get("full_epoch", False)
         self.batch_size = self.kdict.get("batch_size", 32)
         self.kdict["overwrite_train_data"] = False
+
+    def _resolve_mesh(self, n_models: int):
+        """Mesh over which member-stacked state shards (or None)."""
+        mesh = getattr(self, "member_mesh", None)
+        if mesh is False:
+            return None
+        if mesh is not None:
+            return mesh
+        if jax.device_count() > 1:
+            m = ensemble_mesh(n_models)
+            # only worthwhile if members actually spread out
+            if m.shape[MODEL_AXIS] > 1:
+                return m
+        return None
 
     # ------------------------------------------------------ vmapped core
     def _vmapped_train(self, n_models: int, cycles: int,
@@ -101,11 +140,22 @@ class BaseEnsembleTrainer(BaseTrainer):
         sched = jnp.asarray(sched)
         mkeys = jax.random.split(self.keys.next(), n_models)
 
+        # shard member-stacked state across the mesh model axis; batches
+        # replicate (XLA propagates the shardings through the scan)
+        mesh = self._resolve_mesh(n_models)
+        if mesh is not None:
+            params_stack = shard_member_stacked(params_stack, mesh)
+            if bs_stack is not None:
+                bs_stack = shard_member_stacked(bs_stack, mesh)
+            opt_stack = shard_member_stacked(opt_stack, mesh)
+            sched = shard_member_stacked(sched, mesh)
+            mkeys = shard_member_stacked(mkeys, mesh)
+
         swa_cycles = min(30, cycles)
         swa_start = cycles - swa_cycles
 
         def member_step(params, batch_stats, opt_state, swa_sum, swa_sq,
-                        bi, key, e):
+                        bi, key, e, Xb, yb):
             X = Xb[bi]
             y = yb[bi]
             k_aug, k_drop = jax.random.split(key)
@@ -138,7 +188,21 @@ class BaseEnsembleTrainer(BaseTrainer):
 
         vstep = jax.vmap(member_step,
                          in_axes=(0, 0 if has_bn else None, 0, 0, 0, 0,
-                                  0, None))
+                                  0, None, None, None))
+
+        if mesh is not None:
+            # Explicit SPMD over the member axis: each device trains its
+            # local members; batches replicate. (GSPMD auto-partitioning is
+            # avoided — it cannot split the vmapped grouped convolutions.)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            M, R = P(MODEL_AXIS), P()
+            bspec = M if has_bn else R
+            vstep = shard_map(
+                vstep, mesh=mesh,
+                in_specs=(M, bspec, M, M, M, M, M, R, R, R),
+                out_specs=(M, bspec, M, M, M, M),
+                check_rep=False)
 
         zeros = jax.tree.map(jnp.zeros_like, params_stack)
 
@@ -151,7 +215,8 @@ class BaseEnsembleTrainer(BaseTrainer):
                     lambda k: jax.random.fold_in(k, e))(mkeys)
                 params_stack, bs_stack, opt_stack, swa_sum, swa_sq, \
                     losses = vstep(params_stack, bs_stack, opt_stack,
-                                   swa_sum, swa_sq, bis, keys_e, e)
+                                   swa_sum, swa_sq, bis, keys_e, e,
+                                   Xb, yb)
                 return ((params_stack, bs_stack, opt_stack, swa_sum,
                          swa_sq), losses)
 
@@ -181,7 +246,7 @@ class BaseEnsembleTrainer(BaseTrainer):
                     losses_e = jit_vstep(
                         params_stack, bs_stack, opt_stack, swa_sum,
                         swa_sq, jnp.asarray(sched_np[:, e]), keys_e,
-                        jnp.int32(e))
+                        jnp.int32(e), Xb, yb)
                 losses_all.append(losses_e)
             if swa:
                 params_stack = jax.tree.map(
@@ -224,6 +289,7 @@ class BaseEnsembleTrainer(BaseTrainer):
         params_stack, bs_stack = self._vmapped_train(
             n_models, cycles, from_params=None, augment_fn=augment_fn,
             seed_offset=0, swa=self.kdict.get("swa", False))
+        self.params_stack = params_stack  # member-axis-sharded on a mesh
         members = _unstack_tree(params_stack, n_models)
         self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
         if bs_stack is not None:
@@ -258,6 +324,7 @@ class BaseEnsembleTrainer(BaseTrainer):
             n_models, training_cycles_ensemble,
             from_params=baseline_params, augment_fn=augment_fn,
             seed_offset=2, swa=self.kdict.get("swa", False))
+        self.params_stack = params_stack  # member-axis-sharded on a mesh
         members = _unstack_tree(params_stack, n_models)
         self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
         # final model carries the ensemble-averaged weights

@@ -46,3 +46,61 @@ def test_dp_training_matches_single_device():
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_ensemble_members_shard_across_devices():
+    """Library-level ensemble parallelism: EnsembleTrainer must place the
+    member-stacked params over the mesh model axis by itself (not just the
+    graft entry), with loss parity vs the unsharded run."""
+    from atomai_tpu.trainers import EnsembleTrainer
+    from atomai_tpu.utils import make_lattice_stack
+
+    imgs, masks, _ = make_lattice_stack(8, 32, 10, seed=1)
+
+    def train(mesh):
+        et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                             layers=[1, 1, 1, 1], seed=3)
+        et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                    filename="/tmp/aoi_ens_md",
+                                    mesh=mesh)
+        et.train_ensemble_from_scratch(imgs, masks, n_models=4)
+        return et
+
+    et_sharded = train(None)     # auto mesh over the 8 virtual devices
+    leaf = jax.tree.leaves(et_sharded.params_stack)[0]
+    assert len(leaf.sharding.device_set) >= 4, leaf.sharding
+    et_single = train(False)     # sharding disabled
+    tr_s = np.asarray(et_sharded.loss_acc["train_loss"])
+    tr_1 = np.asarray(et_single.loss_acc["train_loss"])
+    np.testing.assert_allclose(tr_s, tr_1, rtol=0.05)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_ensemble_predictor_shards_members():
+    from atomai_tpu.predictors import EnsemblePredictor
+    from atomai_tpu.nets import init_fcnn_model
+
+    net, _ = init_fcnn_model("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    x0 = np.zeros((1, 32, 32, 1), np.float32)
+    members = {}
+    for i in range(4):
+        k = jax.random.key(i)
+        v = dict(net.init({"params": k, "dropout": k}, x0, False))
+        members[i] = v["params"]
+        bs = v.get("batch_stats")
+    p = EnsemblePredictor(net, members, nb_classes=1, batch_stats=bs,
+                          verbose=0)
+    leaf = jax.tree.leaves(p.params_stack)[0]
+    assert len(leaf.sharding.device_set) >= 4, leaf.sharding
+    X = np.random.RandomState(0).rand(2, 32, 32).astype(np.float32)
+    mean, var = p.predict(X, num_batches=1)
+    assert mean.shape == (2, 32, 32, 1) and np.isfinite(mean).all()
+    # parity vs unsharded
+    p1 = EnsemblePredictor(net, members, nb_classes=1, batch_stats=bs,
+                           verbose=0, mesh=False)
+    mean1, var1 = p1.predict(X, num_batches=1)
+    np.testing.assert_allclose(mean, mean1, atol=1e-5)
+    np.testing.assert_allclose(var, var1, atol=1e-5)
