@@ -53,6 +53,31 @@ class BasePredictor:
         self.batch_stats = batch_stats
         self.verbose = kwargs.get("verbose", False)
         self._jit_forward = None
+        # Sharded tiled inference (the domain's "context parallelism",
+        # SURVEY.md §5): the frame/tile axis shards over the mesh data
+        # axis so large stacks use every chip. mesh=None auto-builds a
+        # pure-DP mesh on multi-device hosts; mesh=False disables; or
+        # pass a jax.sharding.Mesh. The reference chunks on one device
+        # (`predictor.py:82-106`).
+        mesh = kwargs.get("mesh", None)
+        if mesh is None and jax.device_count() > 1:
+            from ..core.mesh import get_mesh
+            mesh = get_mesh(n_data=jax.device_count(), n_model=1)
+        self.mesh = mesh or None
+
+    def _shard_input(self, x):
+        """Pads the leading (frame/tile) axis to the mesh data size and
+        shards it; returns (sharded_x, original_length)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.mesh import DATA_AXIS
+        n = x.shape[0]
+        n_data = self.mesh.shape[DATA_AXIS]
+        pad = (-n) % n_data
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec)), n
 
     def preprocess(self, data):
         return jnp.asarray(np.asarray(data, np.float32))
@@ -72,10 +97,14 @@ class BasePredictor:
         return fwd
 
     def forward_(self, xnew) -> jnp.ndarray:
-        """Single forward pass (eval mode)."""
+        """Single forward pass (eval mode); shards the batch axis over the
+        mesh when one is configured."""
         if self._jit_forward is None:
             self._jit_forward = _cached_forward(
                 self._cache_key(), self._make_forward)
+        if self.mesh is not None:
+            xnew, n = self._shard_input(jnp.asarray(xnew))
+            return self._jit_forward(self._variables(), xnew)[:n]
         return self._jit_forward(self._variables(), xnew)
 
     def _cache_key(self):

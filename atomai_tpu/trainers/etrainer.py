@@ -152,6 +152,55 @@ class BaseEnsembleTrainer(BaseTrainer):
             mkeys = shard_member_stacked(mkeys, mesh)
 
         swa_cycles = min(30, cycles)
+        engine_key = (n_models, cycles, has_bn, bool(swa), id(augment_fn),
+                      id(criterion), tuple(Xb.shape), tuple(yb.shape),
+                      mesh)
+        cache = getattr(self, "_ens_engines", None)
+        if cache is None:
+            cache = self._ens_engines = {}
+        if engine_key in cache:
+            run_all, jit_vstep = cache[engine_key]
+        else:
+            run_all, jit_vstep = self._build_ens_engine(
+                n_models, cycles, has_bn, swa, augment_fn, mesh, tx,
+                criterion)
+            cache[engine_key] = (run_all, jit_vstep)
+
+        if jax.default_backend() == "cpu":
+            # XLA:CPU runs scan bodies single-threaded; python-loop the
+            # jitted vmapped step instead
+            swa_sum = jax.tree.map(jnp.zeros_like, params_stack)
+            swa_sq = jax.tree.map(jnp.zeros_like, params_stack)
+            losses_all = []
+            sched_np = np.asarray(sched)
+            for e in range(cycles):
+                keys_e = jax.vmap(
+                    lambda k: jax.random.fold_in(k, e))(mkeys)
+                params_stack, bs_stack, opt_stack, swa_sum, swa_sq, \
+                    losses_e = jit_vstep(
+                        params_stack, bs_stack, opt_stack, swa_sum,
+                        swa_sq, jnp.asarray(sched_np[:, e]), keys_e,
+                        jnp.int32(e), Xb, yb)
+                losses_all.append(losses_e)
+            if swa:
+                params_stack = jax.tree.map(
+                    lambda s: s / swa_cycles, swa_sum)
+            losses = jnp.stack(losses_all)
+        else:
+            params_stack, bs_stack, losses = run_all(
+                params_stack, bs_stack, opt_stack, sched, mkeys, Xb, yb)
+        self.loss_acc["train_loss"].extend(
+            np.asarray(losses).mean(axis=1).tolist())
+        return params_stack, bs_stack
+
+    def _build_ens_engine(self, n_models, cycles, has_bn, swa, augment_fn,
+                          mesh, tx, criterion):
+        """Builds the jitted simultaneous-member engines. All arrays enter
+        as arguments (no data in the closure) so the compiled program is
+        reusable across train_ensemble_* calls with the same config —
+        repeated ensemble training (active-learning loops, benchmarking)
+        pays XLA compilation once."""
+        swa_cycles = min(30, cycles)
         swa_start = cycles - swa_cycles
 
         def member_step(params, batch_stats, opt_state, swa_sum, swa_sq,
@@ -204,10 +253,11 @@ class BaseEnsembleTrainer(BaseTrainer):
                 out_specs=(M, bspec, M, M, M, M),
                 check_rep=False)
 
-        zeros = jax.tree.map(jnp.zeros_like, params_stack)
-
         @jax.jit
-        def run_all(params_stack, bs_stack, opt_stack):
+        def run_all(params_stack, bs_stack, opt_stack, sched, mkeys,
+                    Xb, yb):
+            zeros = jax.tree.map(jnp.zeros_like, params_stack)
+
             def cycle(carry, xs):
                 params_stack, bs_stack, opt_stack, swa_sum, swa_sq = carry
                 e, bis = xs
@@ -231,33 +281,7 @@ class BaseEnsembleTrainer(BaseTrainer):
                     lambda s: s / swa_cycles, swa_sum)
             return params_stack, bs_stack, losses
 
-        if jax.default_backend() == "cpu":
-            # XLA:CPU runs scan bodies single-threaded; python-loop the
-            # jitted vmapped step instead
-            jit_vstep = jax.jit(vstep)
-            swa_sum = zeros
-            swa_sq = jax.tree.map(jnp.zeros_like, params_stack)
-            losses_all = []
-            sched_np = np.asarray(sched)
-            for e in range(cycles):
-                keys_e = jax.vmap(
-                    lambda k: jax.random.fold_in(k, e))(mkeys)
-                params_stack, bs_stack, opt_stack, swa_sum, swa_sq, \
-                    losses_e = jit_vstep(
-                        params_stack, bs_stack, opt_stack, swa_sum,
-                        swa_sq, jnp.asarray(sched_np[:, e]), keys_e,
-                        jnp.int32(e), Xb, yb)
-                losses_all.append(losses_e)
-            if swa:
-                params_stack = jax.tree.map(
-                    lambda s: s / swa_cycles, swa_sum)
-            losses = jnp.stack(losses_all)
-        else:
-            params_stack, bs_stack, losses = run_all(
-                params_stack, bs_stack, opt_stack)
-        self.loss_acc["train_loss"].extend(
-            np.asarray(losses).mean(axis=1).tolist())
-        return params_stack, bs_stack
+        return run_all, jax.jit(vstep)
 
     # -------------------------------------------------------- strategies
     def train_baseline(self, X_train, y_train, X_test=None, y_test=None,

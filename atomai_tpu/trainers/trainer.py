@@ -547,6 +547,36 @@ class BaseTrainer:
     def fit(self):
         self.run()
 
+    def train_flops_per_cycle(self) -> Optional[float]:
+        """XLA cost-analysis FLOPs for ONE training cycle, for MFU
+        accounting. Lowers the compiled chunk with the same shapes run()
+        uses (so the jit cache is hit; no extra device compile). Returns
+        None on the CPU python-loop engine."""
+        if jax.default_backend() == "cpu":
+            return None
+        self._maybe_init_model()
+        if self._compiled_chunk is None:
+            self._compiled_chunk = self._make_cycle_fn()
+        cycles = self.training_cycles
+        chunk = max(1, min(self.print_loss, cycles))
+        swa_state = SwaState.init(self.params)
+        carry = (self.params, self.batch_stats, self.opt_state, swa_state)
+        keys = jax.random.split(jax.random.key(0), chunk)
+        es = jnp.arange(chunk)
+        if not self.full_epoch:
+            xs = (es, jnp.asarray(self.batch_idx_train[:chunk]),
+                  jnp.asarray(self.batch_idx_test[:chunk]), keys)
+        else:
+            xs = (es, keys)
+        try:
+            compiled = self._compiled_chunk.lower(carry, xs).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca["flops"]) / chunk
+        except Exception:
+            return None
+
     # ----------------------------------------------------- one-off steps
     def train_step(self, feat, tar) -> Tuple[float, ...]:
         """Single train step on one batch (reference `trainer.py:189-211`).

@@ -39,6 +39,17 @@ EQ = (SIZE / 512.0) ** 2  # 512^2-image equivalents per 256^2 image
 REF_SEC_PER_CYCLE = 48.536
 REF_SEC_PER_PRED_IMG = 0.1539
 REF_RVAE_STEPS_PER_SEC = 0.502  # measured: 24 steps in 47.8 s (CPU)
+# Config B: reference ImSpec (64x64 -> 16), batch 32 (measured, 20 cycles)
+REF_IMSPEC_SEC_PER_CYCLE = 1.742
+# Config D: reference Segmentor 512^2 + full augmentation + SWA, batch 8
+# (measured, 2 cycles); the reference trains ensemble members sequentially
+# so per-member cost is the unit.
+REF_SEG512_AUG_SEC_PER_CYCLE = 15.97
+# Config E: the reference's gpytorch DKL-GP cannot run in this container
+# (gpytorch is not installed; only an import shim exists) -> absolute only.
+
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip.
+PEAK_FLOPS = 197e12
 
 
 def main():
@@ -89,6 +100,70 @@ def main():
     t_rvae = time.time() - t0
     rvae_steps_per_sec = n_epochs * n_steps_per_epoch / t_rvae
 
+    # --- MFU on config A's training loop (XLA cost analysis; the chunk
+    # is already compiled, so this hits the jit cache) -----------------
+    flops_per_cycle = m.train_flops_per_cycle()
+    mfu = None
+    if flops_per_cycle:
+        mfu = flops_per_cycle * CYCLES / t_train / PEAK_FLOPS
+
+    # --- config B: ImSpec im2spec 64x64 -> 16-point spectra -----------
+    rng = np.random.RandomState(0)
+    Xb = rng.rand(512, 64, 64).astype(np.float32)
+    yb = rng.rand(512, 16).astype(np.float32)
+    CYC_B = 300
+    mb = aoi.models.ImSpec((64, 64), (16,), latent_dim=2)
+    mb.fit(Xb, yb, Xb[:64], yb[:64], training_cycles=CYC_B,
+           batch_size=32, print_loss=CYC_B, filename="/tmp/bench_imspec")
+    mb._reset_training_history()
+    t0 = time.time()
+    mb.run()
+    t_imspec = time.time() - t0
+    imspec_cps = CYC_B / t_imspec
+    imspec_vs = imspec_cps * REF_IMSPEC_SEC_PER_CYCLE
+
+    # --- config D: SWA Segmentor ensemble + full augmentation, 512^2 --
+    # ours trains all members simultaneously (vmapped, mesh-sharded when
+    # multi-chip); the reference loops members sequentially, so its cost
+    # is n_models x per-member s/cycle.
+    imgs512, masks512, _ = aoi.utils.make_lattice_stack(
+        n_images=32, size=512, spacing=16, seed=0)
+    from atomai_tpu.trainers import EnsembleTrainer
+    from atomai_tpu.transforms import seg_augmentor
+    CYC_D, NMOD_D, BATCH_D = 30, 4, 8
+    aug = seg_augmentor(1, rotation=True, zoom=True, gauss_noise=[10, 30],
+                        poisson_noise=[30, 45], salt_and_pepper=True,
+                        blur=True, contrast=True, background=True)
+    et = EnsembleTrainer("Unet", nb_classes=1)
+    et.compile_ensemble_trainer(training_cycles=CYC_D, batch_size=BATCH_D,
+                                filename="/tmp/bench_ens", swa=True)
+    # first call pays XLA compile; second reuses the cached engine
+    et.train_ensemble_from_scratch(imgs512, masks512, n_models=NMOD_D,
+                                   augment_fn=aug)
+    t0 = time.time()
+    et.train_ensemble_from_scratch(imgs512, masks512, n_models=NMOD_D,
+                                   augment_fn=aug)
+    t_ens = time.time() - t0  # steady state
+    ens_img_per_s = CYC_D * BATCH_D * NMOD_D / t_ens
+    ref_ens_img_per_s = BATCH_D / REF_SEG512_AUG_SEC_PER_CYCLE
+    ens_vs = ens_img_per_s / ref_ens_img_per_s
+
+    # --- config E: dklGPR, exact covariance + Cholesky on 10k x 64 ----
+    Xg = rng.randn(10000, 64).astype(np.float32)
+    yg = (Xg[:, 0] + 0.1 * rng.randn(10000)).astype(np.float32)
+    import jax
+    gp = aoi.models.dklGPR(64, embedim=2)
+    gp.fit(Xg, yg, training_cycles=5, print_loss=5)  # pays compile
+    t0 = time.time()
+    CYC_E = 20
+    params_g = gp._train_params
+    import jax.numpy as jnp
+    for _ in range(CYC_E // 5):
+        params_g, gp.opt_state, losses_g = gp._fit_chunk(
+            params_g, gp.opt_state, jnp.arange(5))
+    jax.block_until_ready(losses_g)
+    t_gp_cycle = (time.time() - t0) / CYC_E
+
     train_imgs_eq = CYCLES * BATCH * EQ
     pred_imgs_eq = N_IMG * EQ
     ours = (train_imgs_eq + pred_imgs_eq) / (t_train + t_pred)
@@ -111,6 +186,21 @@ def main():
             "rvae_elbo_steps_per_sec": round(rvae_steps_per_sec, 2),
             "rvae_vs_baseline": round(
                 rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
+            "mfu_config_a": round(mfu, 4) if mfu else None,
+            "flops_per_cycle": flops_per_cycle,
+            "imspec_cycles_per_sec": round(imspec_cps, 2),
+            "imspec_vs_baseline": round(imspec_vs, 1),
+            "ensemble_aug_512_images_per_sec": round(ens_img_per_s, 2),
+            "ensemble_aug_512_vs_baseline": round(ens_vs, 1),
+            "ensemble_aug_512_note": (
+                f"{NMOD_D} members x {CYC_D} cycles x batch {BATCH_D}, "
+                "simultaneous vmapped training incl. one-time compile; "
+                "reference = sequential members at "
+                f"{REF_SEG512_AUG_SEC_PER_CYCLE} s/cycle/member (measured)"),
+            "dklgpr_10k_sec_per_cycle": round(t_gp_cycle, 3),
+            "dklgpr_10k_note": (
+                "exact 10k Cholesky + MLL grad, steady state; reference "
+                "gpytorch unavailable in container (no vs_baseline)"),
         },
     }))
 

@@ -104,3 +104,29 @@ def test_ensemble_predictor_shards_members():
     mean1, var1 = p1.predict(X, num_batches=1)
     np.testing.assert_allclose(mean, mean1, atol=1e-5)
     np.testing.assert_allclose(var, var1, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_sharded_tiled_predict_matches_single_device():
+    """SegPredictor shards the frame axis over the mesh data axis (the
+    domain's context parallelism); outputs must match single-device
+    prediction, including non-divisible frame counts (padding path)."""
+    from atomai_tpu.predictors import SegPredictor
+    from atomai_tpu.nets import init_fcnn_model
+
+    net, _ = init_fcnn_model("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    k = jax.random.key(0)
+    x0 = np.zeros((1, 32, 32, 1), np.float32)
+    v = dict(net.init({"params": k, "dropout": k}, x0, False))
+    X = np.random.RandomState(0).rand(10, 32, 32).astype(np.float32)
+
+    p_sh = SegPredictor(net, v["params"], v.get("batch_stats"),
+                        nb_classes=1, verbose=False)
+    assert p_sh.mesh is not None
+    out_sh = p_sh.predict(X, num_batches=1)
+    p_1 = SegPredictor(net, v["params"], v.get("batch_stats"),
+                       nb_classes=1, verbose=False, mesh=False)
+    assert p_1.mesh is None
+    out_1 = p_1.predict(X, num_batches=1)
+    np.testing.assert_allclose(out_sh, out_1, atol=1e-5)
