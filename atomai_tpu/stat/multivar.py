@@ -18,6 +18,7 @@ import numpy as np
 from scipy import spatial
 
 from ..utils import extract_subimages, get_intensities
+from ..utils.coords import chain_tracks
 from .decomposition import NMF, PCA, FastICA, GaussianMixture, KMeans
 
 
@@ -233,23 +234,20 @@ class imlocal:
     def get_trajectory(cls, coord_class_dict: Dict[int, np.ndarray],
                        start_coord: np.ndarray, rmax: int
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """(reference `multivar.py:596-631`)"""
-        flow = np.empty((0, 3))
-        frames = []
-        c0 = start_coord
-        for k, c in coord_class_dict.items():
-            d, index = spatial.cKDTree(c[:, :2]).query(
-                c0, distance_upper_bound=rmax)
-            if d != np.inf:
-                flow = np.append(flow, [c[index]], axis=0)
-                frames.append(k)
-                c0 = c[index][:2]
-        return flow, np.array(frames)
+        """Single-atom trajectory: nearest-neighbor chaining across frames
+        within ``rmax`` (behavior of reference `multivar.py:596-631`)."""
+        (flow, frames), = chain_tracks(
+            coord_class_dict, np.asarray(start_coord, float)[None, :],
+            rmax)
+        return flow, frames
 
     def get_all_trajectories(self, min_length: int = 0,
                              run_gmm: bool = False, rmax: int = 10,
                              **kwargs) -> Dict:
-        """(reference `multivar.py:633-695`)"""
+        """Trajectories of all atoms/defects present in the first frame
+        (behavior of reference `multivar.py:633-695`); all tracks advance
+        together — one KD-tree per frame instead of one per (track,
+        frame)."""
         if run_gmm:
             n_components = kwargs.get("n_components", 5)
             covariance = kwargs.get("covariance", "diag")
@@ -264,15 +262,11 @@ class imlocal:
                 (self.imgstack_com[self.imgstack_frames == i],
                  classes[self.imgstack_frames == i][..., None]), axis=-1)
             for i in self.imgstack_frames}
-        all_trajectories, all_frames = [], []
-        first = coord_class_dict[list(coord_class_dict.keys())[0]]
-        for ck in first[:, :2]:
-            flow, frames = self.get_trajectory(coord_class_dict, ck, rmax)
-            if len(flow) > min_length:
-                all_trajectories.append(flow)
-                all_frames.append(frames)
-        return_dict = {"trajectories": all_trajectories,
-                       "frames": all_frames}
+        first = next(iter(coord_class_dict.values()))
+        tracks = chain_tracks(coord_class_dict, first[:, :2], rmax)
+        kept = [(f, fr) for f, fr in tracks if len(f) > min_length]
+        return_dict = {"trajectories": [f for f, _ in kept],
+                       "frames": [fr for _, fr in kept]}
         if run_gmm:
             return_dict["gmm_components"] = gmm_comps
         return return_dict

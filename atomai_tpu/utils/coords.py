@@ -16,7 +16,7 @@ Parity map into `atomai/utils/coords.py`:
 """
 
 import warnings
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -171,24 +171,61 @@ def get_intensities(coordinates_all: Dict[int, np.ndarray],
 def compare_coordinates(coordinates1: np.ndarray, coordinates2: np.ndarray,
                         d_max: float, plot_results: bool = False,
                         **kwargs) -> Tuple[np.ndarray, ...]:
-    """Match predicted vs ground-truth coordinates (:266-301)."""
-    coordinates1_ = np.empty((0, 3))
-    coordinates2_ = np.empty((0, 3))
-    delta_r = []
-    tree = spatial.cKDTree(coordinates2)
-    for c in coordinates1:
-        dist, idx = tree.query(c)
-        if dist < d_max:
-            coordinates1_ = np.append(coordinates1_, [c], axis=0)
-            coordinates2_ = np.append(coordinates2_, [coordinates2[idx]],
-                                      axis=0)
-            delta_r.append(dist)
+    """Match each coordinate in set 1 to its nearest neighbor in set 2,
+    keeping pairs closer than ``d_max`` (behavior of reference
+    `coords.py:266-301`, vectorized to one KD-tree query)."""
+    coordinates1 = np.asarray(coordinates1, float)
+    coordinates2 = np.asarray(coordinates2, float)
+    dist, idx = spatial.cKDTree(coordinates2).query(coordinates1)
+    keep = dist < d_max
+    coordinates1_ = coordinates1[keep]
+    coordinates2_ = coordinates2[idx[keep]]
+    delta_r = dist[keep]
     if plot_results:
         from . import viz  # lazy
         viz.plot_coordinates_comparison(
             coordinates1_, delta_r, kwargs.get("expdata"),
             kwargs.get("fsize", 20))
-    return coordinates1_, coordinates2_, np.array(delta_r)
+    return coordinates1_, coordinates2_, delta_r
+
+
+def chain_tracks(coord_class_dict: Dict[int, np.ndarray],
+                 starts: np.ndarray, rmax: float,
+                 on_match: Optional[Callable] = None
+                 ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Nearest-neighbor chaining of MANY tracks at once over a frame dict
+    ``{frame: (N, 3) [x, y, class]}``: one KD-tree per frame, every active
+    track queries it simultaneously (the reference rebuilds a tree per
+    (track, frame), `atomai/stat/multivar.py:596-631`). A track that finds
+    no match within ``rmax`` in a frame holds its position and may resume
+    in a later frame.
+
+    ``on_match(track_idx, frame, row) -> bool``: optional acceptance hook
+    (e.g. subimage-crop validity); False leaves the track where it was.
+
+    Returns one ``(flow (m, 3), frames (m,))`` pair per start point.
+    """
+    starts = np.asarray(starts, float)
+    n = len(starts)
+    flows: List[List[np.ndarray]] = [[] for _ in range(n)]
+    frames: List[List[int]] = [[] for _ in range(n)]
+    cur = starts.copy()
+    width = 3
+    for k, c in coord_class_dict.items():
+        c = np.asarray(c, float)
+        if len(c) == 0:
+            continue
+        width = c.shape[-1]
+        d, idx = spatial.cKDTree(c[:, :2]).query(
+            cur, distance_upper_bound=rmax)
+        for i in np.nonzero(np.isfinite(d))[0]:
+            row = c[idx[i]]
+            if on_match is None or on_match(int(i), k, row):
+                flows[i].append(row)
+                frames[i].append(k)
+                cur[i] = row[:2]
+    return [(np.asarray(f, float).reshape(len(f), width),
+             np.asarray(fr)) for f, fr in zip(flows, frames)]
 
 
 def cluster_coord(coord_class_dict: Dict[int, np.ndarray], eps: float,
@@ -238,7 +275,10 @@ def find_coord_clusters(coord_class_dict_1: Dict[int, np.ndarray],
 
 
 class subimg_trajectories:
-    """Trajectories of individual defects/atoms + subimages (:403-472)."""
+    """Defect/atom trajectories plus a window crop around every tracked
+    position (behavior of reference `coords.py:403-472`, built on the
+    multi-track :func:`chain_tracks` engine). A match whose window falls
+    off the image edge is rejected and the track holds its position."""
 
     def __init__(self, imgdata: np.ndarray,
                  coord_class_dict: Dict[int, np.ndarray],
@@ -250,40 +290,40 @@ class subimg_trajectories:
         self.min_length = min_length
         self.rmax = rmax
 
+    def _crop(self, frame: int, row: np.ndarray) -> Optional[np.ndarray]:
+        half = self.r // 2
+        cx, cy = int(np.around(row[0])), int(np.around(row[1]))
+        crop = self.imgdata[frame][cx - half:cx + half, cy - half:cy + half]
+        return crop if crop.shape[:2] == (self.r, self.r) else None
+
+    def _track(self, starts: np.ndarray
+               ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        crops: List[List[np.ndarray]] = [[] for _ in range(len(starts))]
+
+        def accept(i, frame, row):
+            crop = self._crop(frame, row)
+            if crop is None:
+                return False
+            crops[i].append(crop)
+            return True
+
+        tracks = chain_tracks(self.coord_class_dict, starts, self.rmax,
+                              on_match=accept)
+        return [(flow, frames, np.asarray(cr))
+                for (flow, frames), cr in zip(tracks, crops)]
+
     def get_trajectory(self, start_coord: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        def crop_(img_, c_):
-            cx = int(np.around(c_[0]))
-            cy = int(np.around(c_[1]))
-            return img_[cx - self.r // 2:cx + self.r // 2,
-                        cy - self.r // 2:cy + self.r // 2]
-
-        flow, frames, img_cr_all = [], [], []
-        c0 = start_coord
-        for k, c in self.coord_class_dict.items():
-            d, index = spatial.cKDTree(c[:, :2]).query(
-                c0, distance_upper_bound=self.rmax)
-            if d != np.inf:
-                img_cr = crop_(self.imgdata[k], c[index])
-                if img_cr.shape[0:2] == (self.r, self.r):
-                    flow.append(c[index])
-                    img_cr_all.append(img_cr)
-                    frames.append(k)
-                    c0 = c[index][:2]
-        return np.array(flow), np.array(frames), np.array(img_cr_all)
+        return self._track(np.asarray(start_coord, float)[None, :])[0]
 
     def get_all_trajectories(self
                              ) -> Tuple[List[np.ndarray], List[np.ndarray],
                                         List[np.ndarray]]:
-        trajectories_all, frames_all, subimgs_all = [], [], []
-        first = self.coord_class_dict[list(self.coord_class_dict.keys())[0]]
-        for ck in first[:, :2]:
-            flow, frames, subimgs = self.get_trajectory(ck)
-            if len(flow) > self.min_length:
-                trajectories_all.append(flow)
-                frames_all.append(frames)
-                subimgs_all.append(subimgs)
-        return trajectories_all, frames_all, subimgs_all
+        first = next(iter(self.coord_class_dict.values()))
+        out = [t for t in self._track(first[:, :2])
+               if len(t[0]) > self.min_length]
+        return ([f for f, _, _ in out], [fr for _, fr, _ in out],
+                [s for _, _, s in out])
 
 
 def map_bonds(coordinates: Dict[int, np.ndarray], nn: int = 2,

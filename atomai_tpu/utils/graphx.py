@@ -1,20 +1,27 @@
 """Lattice graph analysis (host-side analytics).
 
-Parity: `atomai/utils/graphx.py` — Node/Graph with cKDTree neighbor search
-using covalent radii (:22-127), recursive DFS ring finding + shortest-path
-filtering (find_rings :128, polycount :164, remove_filled_polygons :177),
-NetworkX export (:235-269), find_cycles/find_cycle_clusters defect
-identification (:296-403), plot_graph (:406), filter_subgraphs (:451-530).
+Behavioral parity with `atomai/utils/graphx.py` (Node/Graph neighbor
+search with covalent radii :22-127, ring finding :128-233, NetworkX
+export :235-269, find_cycles/find_cycle_clusters :296-403, plot_graph
+:406, filter_subgraphs :451-530) — with a redesigned core:
+
+- bond construction is vectorized: one ``cKDTree.query_pairs`` sweep +
+  a species-pair cutoff matrix filter (the reference loops nodes and
+  re-queries per atom);
+- ring search enumerates each simple cycle exactly once via an
+  iterative canonical DFS (cycle root = smallest member id, orientation
+  fixed) with an explicit stack — no recursion limits — and filters
+  non-chordless ("filled") polygons with bounded BFS distances. The
+  reference's recursive DFS needed ``sys.setrecursionlimit(100000)``;
+- a C++ fast path (native/graph_rings.cpp) handles large lattices.
 
 The ``mendeleev`` dependency is replaced by an embedded covalent-radius
 table (pm, Cordero et al. 2008) — `get_interatomic_r` keeps the same
 contract (`graphx.py:272-293`).
 """
 
-import itertools
-import sys
-from copy import copy, deepcopy
-from typing import Dict, List, Optional, Tuple, Union
+from copy import deepcopy
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from scipy import spatial
@@ -40,113 +47,165 @@ COVALENT_RADII_PM = {
 
 
 class Node:
-    """A graph node representing an atom (`graphx.py:22-46`)."""
+    """A graph node view over one atom. ``neighbors`` is the bonded-node
+    list; kept as the public per-vertex API (reference `graphx.py:22-46`
+    exposes the same attributes)."""
 
     def __init__(self, idx: int = 0, pos: Optional[List[float]] = None,
                  atom: str = "C") -> None:
         self.neighbors: List["Node"] = []
-        self.neighborscopy: List["Node"] = []
-        self.nn = 0
         self.id = idx
         self.pos = [] if pos is None else pos
         self.atom = atom
-        self.ingraph = True
-        self.visited = False
+
+
+def _bond_pairs(coordinates: np.ndarray, species: np.ndarray,
+                map_dict: Dict[float, str], expand: float) -> np.ndarray:
+    """Bonded index pairs (k, 2), vectorized.
+
+    One KD-tree sweep at the largest species-pair cutoff, then a single
+    boolean filter against the per-pair cutoff matrix.
+    """
+    classes = np.unique(species)
+    radii = np.array([COVALENT_RADII_PM[map_dict[c]] for c in classes],
+                     float) / 100.0
+    cutoff = expand * (radii[:, None] + radii[None, :])  # (c, c) angstrom
+    class_idx = np.searchsorted(classes, species)
+    tree = spatial.cKDTree(coordinates)
+    pairs = tree.query_pairs(float(cutoff.max()), output_type="ndarray")
+    if pairs.size == 0:
+        return pairs.reshape(0, 2)
+    d = np.linalg.norm(coordinates[pairs[:, 0]] - coordinates[pairs[:, 1]],
+                       axis=1)
+    keep = d <= cutoff[class_idx[pairs[:, 0]], class_idx[pairs[:, 1]]]
+    return pairs[keep]
+
+
+def _enumerate_cycles(adj: Sequence[Sequence[int]], max_size: int
+                      ) -> List[List[int]]:
+    """All simple cycles of length 3..max_size, each reported exactly once.
+
+    Canonical form: the cycle is rooted at its smallest member id (DFS only
+    walks vertices with id > root) and the orientation is fixed by
+    requiring the second vertex id to be smaller than the last. Iterative
+    explicit-stack DFS — no recursion depth limits.
+    """
+    n = len(adj)
+    cycles: List[List[int]] = []
+    on_path = np.zeros(n, bool)
+    for root in range(n):
+        path = [root]
+        on_path[root] = True
+        stack = [[root, 0]]
+        while stack:
+            frame = stack[-1]
+            v, it = frame
+            if it < len(adj[v]):
+                frame[1] += 1
+                w = adj[v][it]
+                if w == root:
+                    if len(path) >= 3 and path[1] < path[-1]:
+                        cycles.append(path.copy())
+                elif w > root and not on_path[w] and len(path) < max_size:
+                    path.append(w)
+                    on_path[w] = True
+                    stack.append([w, 0])
+            else:
+                stack.pop()
+                on_path[path.pop()] = False
+    return cycles
+
+
+def _bfs_distance(adj: Sequence[Sequence[int]], a: int, b: int,
+                  max_len: int) -> int:
+    """Graph distance between a and b counted in NODES (path length + 1),
+    searching only within max_len nodes; 0 if unreachable within bound."""
+    if a == b:
+        return 1
+    dist = {a: 1}
+    frontier = [a]
+    while frontier:
+        nxt = []
+        for v in frontier:
+            dv = dist[v]
+            if dv >= max_len:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    if w == b:
+                        return dv + 1
+                    dist[w] = dv + 1
+                    nxt.append(w)
+        frontier = nxt
+    return 0
+
+
+def _is_chordless(adj: Sequence[Sequence[int]], ring: Sequence[int]
+                  ) -> bool:
+    """True when no two ring members are closer through the full graph
+    than along the ring itself (the "filled polygon" criterion)."""
+    l = len(ring)
+    for j in range(l):
+        for k in range(j + 2, l):
+            djk = k - j
+            dist_r = min(djk, l - djk) + 1
+            dist_g = _bfs_distance(adj, ring[j], ring[k], dist_r)
+            if dist_g and dist_g < dist_r:
+                return False
+    return True
 
 
 class Graph:
-    """Graph construction & ring analysis from atomic coordinates
-    (`graphx.py:48-269`)."""
+    """Graph construction & ring analysis from atomic coordinates.
+
+    Array-of-structs redesign of the reference class
+    (`atomai/utils/graphx.py:48-269`): coordinates/species live in numpy
+    arrays, adjacency in an id-indexed list; ``vertices`` offers the same
+    per-node view the reference exposes.
+    """
 
     def __init__(self, coordinates: np.ndarray,
                  map_dict: Dict[float, str]) -> None:
-        self.vertices: List[Node] = []
+        coordinates = np.asarray(coordinates, float)
         if coordinates.shape[-1] == 3:
             coordinates = np.concatenate(
                 (coordinates[:, :2],
                  np.zeros_like(coordinates)[:, 0:1],
                  coordinates[:, 2:3]), axis=-1)
-        for i, coords in enumerate(coordinates):
-            self.vertices.append(
-                Node(i, coords[:-1].tolist(), map_dict[coords[-1]]))
         self.coordinates = coordinates
         self.map_dict = map_dict
         self.size = len(coordinates)
+        self.vertices: List[Node] = [
+            Node(i, coordinates[i, :-1].tolist(),
+                 map_dict[coordinates[i, -1]])
+            for i in range(self.size)]
+        self.adjacency: List[List[int]] = [[] for _ in range(self.size)]
         self.rings: List[List[Node]] = []
-        self.path: List[Node] = []
-        self.improper: List[Node] = []
 
     def find_neighbors(self, **kwargs: float) -> None:
-        """Bond construction via cKDTree + covalent radii
-        (`graphx.py:83-127`)."""
+        """Vectorized bond construction (covalent radii x ``expand``)."""
+        pairs = _bond_pairs(self.coordinates[:, :3],
+                            self.coordinates[:, -1], self.map_dict,
+                            kwargs.get("expand", 1.2))
+        self.adjacency = [[] for _ in range(self.size)]
+        for a, b in pairs:
+            self.adjacency[a].append(int(b))
+            self.adjacency[b].append(int(a))
         for v in self.vertices:
-            del v.neighbors[:]
-        e = kwargs.get("expand", 1.2)
-        tree = spatial.cKDTree(self.coordinates[:, :3])
-        uval = np.unique(self.coordinates[:, -1])
-        if len(uval) == 1:
-            rmax = get_interatomic_r(
-                [self.map_dict[uval[0]], self.map_dict[uval[0]]], e)
-            neighbors = tree.query_ball_point(
-                self.coordinates[:, :3], r=rmax)
-            for v, nn in zip(self.vertices, neighbors):
-                for n in nn:
-                    if self.vertices[n] is not v:
-                        v.neighbors.append(self.vertices[n])
-                        v.neighborscopy.append(self.vertices[n])
-        else:
-            uval_el = [self.map_dict[u] for u in uval]
-            apairs = [(p[0], p[1])
-                      for p in itertools.product(uval_el, repeat=2)]
-            rij_v = [get_interatomic_r([a[0], a[1]], e) for a in apairs]
-            rmax = np.max(rij_v)
-            rij = dict(zip(apairs, rij_v))
-            for v, coords in zip(self.vertices, self.coordinates):
-                atom1 = self.map_dict[coords[-1]]
-                nn = tree.query_ball_point(coords[:3], r=rmax)
-                for n in nn:
-                    coords2 = self.coordinates[n]
-                    if self.vertices[n] is not v:
-                        atom2 = self.map_dict[coords2[-1]]
-                        eucldist = np.linalg.norm(
-                            coords[:3] - coords2[:3])
-                        if eucldist <= rij[(atom1, atom2)]:
-                            v.neighbors.append(self.vertices[n])
-                            v.neighborscopy.append(self.vertices[n])
+            v.neighbors = [self.vertices[i] for i in self.adjacency[v.id]]
 
-    def find_rings(self, v: Node, rings: Optional[List] = None,
-                   max_depth: Optional[int] = None,
-                   visited: Optional[List] = None, depth: int = 0,
-                   root: Optional[Node] = None) -> None:
-        """Recursive DFS ring search (`graphx.py:128-162`)."""
-        if rings is None:
-            rings = self.rings
-        if visited is None:
-            visited = []
-        if root is None:
-            root = v
-            root.ingraph = False
-        if max_depth and depth >= max_depth:
-            return
-        visited.append(v)
-        depth += 1
-        for n in v.neighbors:
-            if depth > 2 and n is root:
-                rings.append(copy(visited))
-            elif n.ingraph:
-                n.ingraph = False
-                self.find_rings(n, rings, max_depth, visited, depth, root)
-                n.ingraph = True
-        if depth == 2 and root in v.neighbors:
-            v.neighbors.remove(root)
-        visited.pop()
+    def find_rings(self, v: Node, max_depth: int) -> List[List[Node]]:
+        """Simple cycles through vertex ``v`` (each once), up to
+        ``max_depth`` members."""
+        return [[self.vertices[i] for i in ring]
+                for ring in _enumerate_cycles(self.adjacency, max_depth)
+                if v.id in ring]
 
     def polycount(self, max_depth: int) -> None:
-        """Ring search from every node (`graphx.py:164-175`)."""
-        for i in range(self.size):
-            self.find_rings(self.vertices[i], self.rings, max_depth)
-        for v in self.vertices:
-            v.neighbors = copy(v.neighborscopy)
+        """Enumerates every simple cycle up to ``max_depth`` members."""
+        self.rings = [[self.vertices[i] for i in ring]
+                      for ring in _enumerate_cycles(self.adjacency,
+                                                    max_depth)]
 
     def polycount_native(self, max_depth: int,
                          filter_filled: bool = True) -> bool:
@@ -155,9 +214,8 @@ class Graph:
         magnitude faster on large lattices. Returns False if the native
         library is unavailable (caller should fall back)."""
         from ..native import find_rings_native
-        adjacency = [[n.id for n in v.neighborscopy]
-                     for v in self.vertices]
-        rings_ids = find_rings_native(adjacency, max_depth, filter_filled)
+        rings_ids = find_rings_native(self.adjacency, max_depth,
+                                      filter_filled)
         if rings_ids is None:
             return False
         self.rings = [[self.vertices[i] for i in ring]
@@ -165,87 +223,45 @@ class Graph:
         return True
 
     def remove_filled_polygons(self) -> None:
-        """Keeps only shortest-path rings (`graphx.py:177-203`)."""
-        for v in self.vertices:
-            v.ingraph = True
-        to_be_removed = []
-        for r in self.rings:
-            l = len(r)
-            remove = False
-            for j in range(l):
-                for k in range(j + 2, l):
-                    if remove:
-                        break
-                    v, n = r[j], r[k]
-                    djk = abs(j - k)
-                    dist_r = min(djk, abs(djk - l)) + 1
-                    self.path = []
-                    self.shortest_path(v, n, max_depth=dist_r)
-                    if len(self.path) and len(self.path) < dist_r:
-                        remove = True
-            if remove:
-                to_be_removed.append(r)
-        for r in to_be_removed:
-            self.rings.remove(r)
+        """Keeps only chordless rings (no shortcut through the graph
+        between any two members)."""
+        self.rings = [r for r in self.rings
+                      if _is_chordless(self.adjacency,
+                                       [v.id for v in r])]
 
-    def shortest_path(self, v: Node, goal: Node, max_depth: int,
-                      visited: Optional[List] = None,
-                      depth: int = 1) -> None:
-        """Bounded-depth shortest path (`graphx.py:205-233`)."""
-        if visited is None:
-            visited = []
-        if depth < max_depth:
-            depth += 1
-            visited.append(v)
-            if v is goal:
-                lp = len(self.path)
-                if depth < lp or not lp:
-                    self.path = copy(visited)
-                    max_depth = depth
-            else:
-                for n in v.neighborscopy:
-                    if n.ingraph:
-                        n.ingraph = False
-                        self.shortest_path(n, goal, max_depth, visited,
-                                           depth)
-                        n.ingraph = True
-            visited.pop()
+    def _nx_nodes(self, ids, planar: bool):
+        for i in ids:
+            v = self.vertices[i]
+            pos = tuple(v.pos[:2]) if planar else tuple(v.pos)
+            yield v.id, {"pos": pos, "atom": v.atom}
 
     def rings_to_nx_graph(self, ring_size: Union[int, List[int]]):
-        """Detected rings -> networkx graph (`graphx.py:235-251`)."""
+        """Detected rings of the given size(s) -> networkx graph of the
+        ring members plus their bonded neighbors (degree>=2 retained),
+        matching reference `graphx.py:235-251` output."""
         import networkx as nx
-        if isinstance(ring_size, int):
-            ring_size = [ring_size]
+        sizes = {ring_size} if isinstance(ring_size, int) else set(ring_size)
+        members = {v.id for ring in self.rings if len(ring) in sizes
+                   for v in ring}
+        closure = members | {w for i in members for w in self.adjacency[i]}
         g_nx = nx.Graph()
-        for ring in self.rings:
-            if len(ring) not in ring_size:
-                continue
-            for v in ring:
-                g_nx.add_node(v.id, pos=tuple(v.pos), atom=v.atom)
-                for nn in v.neighbors:
-                    g_nx.add_node(nn.id, pos=tuple(nn.pos), atom=nn.atom)
-                for nn in v.neighbors:
-                    g_nx.add_edge(v.id, nn.id)
-        nodes_to_remove = [node for node, degree in g_nx.degree()
-                           if degree < 2]
-        g_nx.remove_nodes_from(nodes_to_remove)
+        g_nx.add_nodes_from(self._nx_nodes(sorted(closure), planar=False))
+        g_nx.add_edges_from((i, w) for i in members
+                            for w in self.adjacency[i])
+        g_nx.remove_nodes_from(
+            [node for node, degree in g_nx.degree() if degree < 2])
         return g_nx
 
     def nx_graph(self):
-        """Whole graph -> networkx object (`graphx.py:253-269`)."""
+        """Whole graph -> networkx object (2D positions when the lattice
+        is planar, reference `graphx.py:253-269`)."""
         import networkx as nx
-        g_nx = nx.Graph()
         planar = bool(np.all(
             self.coordinates[0, 2] == self.coordinates[:, 2]))
-        for v in self.vertices:
-            g_nx.add_node(v.id, pos=tuple(v.pos[:2] if planar else v.pos),
-                          atom=v.atom)
-            for nn in v.neighbors:
-                g_nx.add_node(
-                    nn.id, pos=tuple(nn.pos[:2] if planar else nn.pos),
-                    atom=nn.atom)
-            for nn in v.neighbors:
-                g_nx.add_edge(v.id, nn.id)
+        g_nx = nx.Graph()
+        g_nx.add_nodes_from(self._nx_nodes(range(self.size), planar))
+        g_nx.add_edges_from((i, w) for i in range(self.size)
+                            for w in self.adjacency[i])
         return g_nx
 
 
@@ -273,9 +289,8 @@ def find_cycles(coordinate_data: np.ndarray,
     G = Graph(coordinates, map_dict)
     G.find_neighbors(expand=e)
     if not G.polycount_native(max_depth=max(cycles)):
-        with _recursion_headroom():
-            G.polycount(max_depth=max(cycles))
-            G.remove_filled_polygons()
+        G.polycount(max_depth=max(cycles))
+        G.remove_filled_polygons()
     rl = [sorted(int(v.id) for v in r) for r in G.rings]
     rl = sorted(rl, key=lambda x: (len(x), x[0], x[1], x[2]))
     coordinates_ = [coordinates[r] for r in rl if len(r) in cycles]
@@ -298,9 +313,8 @@ def find_cycle_clusters(coordinate_data: np.ndarray,
     G = Graph(coordinates, map_dict)
     G.find_neighbors(expand=e)
     if not G.polycount_native(max_depth=max(cycles)):
-        with _recursion_headroom():
-            G.polycount(max_depth=max(cycles))
-            G.remove_filled_polygons()
+        G.polycount(max_depth=max(cycles))
+        G.remove_filled_polygons()
     g_nx = G.rings_to_nx_graph(cycles)
     sub_graphs = [g_nx.subgraph(c).copy()
                   for c in nx.connected_components(g_nx)]
@@ -356,24 +370,15 @@ def filter_subgraphs_(coordinate_arr: np.ndarray,
     """Keeps atoms in the largest connected subgraph
     (`graphx.py:451-497`)."""
     import networkx as nx
-    coordinates = deepcopy(np.asarray(coordinate_arr, float))
-    coordinates[:, :-1] = coordinates[:, :-1] * px2ang
-    e = kwargs.get("expand", 1.2)
-    G = Graph(coordinates, map_dict)
-    G.find_neighbors(expand=e)
-    G_nx = G.nx_graph()
-    map_dict_inv = {v: k for (k, v) in map_dict.items()}
-    sub_graphs = [G_nx.subgraph(c).copy()
-                  for c in nx.connected_components(G_nx)]
-    main_graph = sub_graphs[int(np.argmax([len(sg)
-                                           for sg in sub_graphs]))]
-    pos = nx.get_node_attributes(main_graph, "pos")
-    names = nx.get_node_attributes(main_graph, "atom")
-    rows = []
-    for n, c in zip(names.values(), pos.values()):
-        rows.append(np.array([c[0] / px2ang, c[1] / px2ang,
-                              map_dict_inv[n]]).reshape(1, -1))
-    return np.concatenate(rows)
+    coordinates = np.asarray(coordinate_arr, float).copy()
+    scaled = coordinates.copy()
+    scaled[:, :-1] *= px2ang
+    G = Graph(scaled, map_dict)
+    G.find_neighbors(expand=kwargs.get("expand", 1.2))
+    # node ids are row indices, so the largest component selects rows
+    # of the ORIGINAL (pixel-unit) array directly
+    main = max(nx.connected_components(G.nx_graph()), key=len)
+    return coordinates[sorted(main)]
 
 
 def filter_subgraphs(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
@@ -386,14 +391,3 @@ def filter_subgraphs(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
             for k, coord in coordinates.items()}
 
 
-class _recursion_headroom:
-    """Raises the recursion limit for deep DFS ring searches."""
-
-    def __enter__(self):
-        self._old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(self._old, 100000))
-        return self
-
-    def __exit__(self, *a):
-        sys.setrecursionlimit(self._old)
-        return False

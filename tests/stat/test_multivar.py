@@ -101,3 +101,44 @@ def test_update_classes_kmeans(imstack_data):
     upd = update_classes(coord_dict, imgs, method="kmeans",
                          n_components=2)
     assert len(np.unique(upd[0][:, -1])) <= 2
+
+
+def test_trajectory_chaining():
+    """Two atoms drifting across frames give two tracks whose positions
+    chain to the nearest neighbor within rmax; a frame with no match
+    within rmax is skipped (track resumes later)."""
+    from atomai_tpu.utils.coords import chain_tracks
+
+    frames = {}
+    for k in range(5):
+        a = [10.0 + k, 10.0, 0.0]       # drifts +1 px/frame in x
+        b = [40.0, 40.0 + 2 * k, 1.0]   # drifts +2 px/frame in y
+        rows = [a, b] if k != 2 else [b]  # atom a missing in frame 2
+        frames[k] = np.asarray(rows)
+
+    tracks = chain_tracks(frames, np.array([[10.0, 10.0], [40.0, 40.0]]),
+                          rmax=5)
+    flow_a, frames_a = tracks[0]
+    flow_b, frames_b = tracks[1]
+    assert list(frames_a) == [0, 1, 3, 4]          # frame 2 skipped
+    np.testing.assert_allclose(flow_a[:, 0], [10, 11, 13, 14])
+    assert list(frames_b) == [0, 1, 2, 3, 4]
+    np.testing.assert_allclose(flow_b[:, 1], [40, 42, 44, 46, 48])
+    assert (flow_b[:, 2] == 1.0).all()
+
+
+def test_subimg_trajectories_crops():
+    from atomai_tpu.utils.coords import subimg_trajectories
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, 32, 32).astype(np.float32)
+    frames = {k: np.array([[16.0 + k, 16.0, 0.0],
+                           [2.0, 2.0, 0.0]])  # near edge: crop rejected
+              for k in range(4)}
+    st = subimg_trajectories(imgs, frames, window_size=8, rmax=4)
+    trajs, fr, subs = st.get_all_trajectories()
+    # the edge atom's crops are all rejected -> its empty track is
+    # filtered out by min_length; only the interior atom's track remains
+    assert len(trajs) == 1
+    assert subs[0].shape == (4, 8, 8)
+    np.testing.assert_allclose(trajs[0][:, 0], [16, 17, 18, 19])

@@ -51,3 +51,36 @@ def test_filter_subgraphs_keeps_largest():
     cc2 = np.concatenate([cc, [[100.0, 100.0, 0.0]]], axis=0)
     filt = filter_subgraphs(cc2, {0.0: "C"}, px2ang=1.0)
     assert filt[0].shape == (6, 3)
+
+
+def _hex_patch(nx_=6, ny=6, a=1.42):
+    """Graphene-like multi-ring patch."""
+    pts = []
+    for i in range(nx_):
+        for j in range(ny):
+            x = 1.5 * a * i
+            y = np.sqrt(3) * a * (j + 0.5 * (i % 2))
+            pts.append([x, y])
+            pts.append([x + a, y])
+    pts = np.unique(np.round(np.asarray(pts), 6), axis=0)
+    return np.concatenate([pts, np.zeros((len(pts), 1))], -1)
+
+
+def test_python_ring_search_matches_native():
+    """The iterative canonical-DFS fallback must produce the same
+    chordless-ring set as the C++ path on a multi-ring lattice."""
+    coords = _hex_patch()
+    g_native = Graph(coords, {0.0: "C"})
+    g_native.find_neighbors(expand=1.2)
+    if not g_native.polycount_native(max_depth=8, filter_filled=True):
+        pytest.skip("native ring finder unavailable")
+    g_py = Graph(coords, {0.0: "C"})
+    g_py.find_neighbors(expand=1.2)
+    g_py.polycount(max_depth=8)
+    g_py.remove_filled_polygons()
+
+    def canon(rings):
+        return sorted(tuple(sorted(v.id for v in r)) for r in rings)
+
+    assert len(g_native.rings) > 10  # a real multi-ring case
+    assert canon(g_native.rings) == canon(g_py.rings)
