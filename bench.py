@@ -41,10 +41,12 @@ REF_SEC_PER_PRED_IMG = 0.1539
 REF_RVAE_STEPS_PER_SEC = 0.502  # measured: 24 steps in 47.8 s (CPU)
 # Config B: reference ImSpec (64x64 -> 16), batch 32 (measured, 20 cycles)
 REF_IMSPEC_SEC_PER_CYCLE = 1.742
-# Config D: reference Segmentor 512^2 + full augmentation + SWA, batch 8
-# (measured, 2 cycles); the reference trains ensemble members sequentially
-# so per-member cost is the unit.
-REF_SEG512_AUG_SEC_PER_CYCLE = 15.97
+# Config D: reference Segmentor 512^2 + full augmentation, batch 8
+# (measured, 2 cycles; SWA epilogue crashes upstream at <30 cycles so it
+# was off — it only copies weights per epoch, negligible per-cycle). The
+# reference trains ensemble members sequentially so per-member cost is
+# the unit.
+REF_SEG512_AUG_SEC_PER_CYCLE = 25.48
 # Config E: the reference's gpytorch DKL-GP cannot run in this container
 # (gpytorch is not installed; only an import shim exists) -> absolute only.
 
