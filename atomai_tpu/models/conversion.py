@@ -189,18 +189,296 @@ def convert_fcnn_state_dict(torch_state_dict: Dict[str, Any],
     return net, params, bstats
 
 
-def load_torch_checkpoint(filepath: str):
-    """Loads a reference .tar checkpoint and returns an equivalent
-    atomai_tpu model (currently: segmentation models)."""
-    import torch
+def _relayout_linear(convs: List, layout: Tuple) -> List:
+    """Permutes a torch Linear's features across the NCHW->NHWC flatten
+    boundary.
 
-    loaded = torch.load(filepath, map_location="cpu",
-                        weights_only=False)
-    model_type = loaded.get("model_type")
-    if model_type != "seg":
-        raise NotImplementedError(
-            f"Torch checkpoint conversion for model_type={model_type} "
-            "is not implemented yet (supported: 'seg')")
+    torch flattens conv activations channel-first (``C*prod(spatial)``
+    with index ``c*n + h*W + w``); flax channel-last (``h*W*C + w*C + c``).
+    ``layout`` is ("in"|"out", C, spatial): "in" reorders the weight's
+    input columns (Linear consuming a flattened conv map), "out" reorders
+    output rows + bias (Linear producing a map reshaped to (C, *spatial)
+    in torch vs (*spatial, C) here).
+    """
+    mode, c, spatial = layout
+    out = []
+    for w, b in convs:
+        if w.ndim != 2:
+            raise ValueError("layout relayout applies to Linear layers "
+                             f"only, got weight ndim={w.ndim}")
+        sp = tuple(spatial)
+        if mode == "in":
+            # (z, C*n) -> (z, C, *sp) -> (z, *sp, C) -> (z, n*C)
+            wt = w.reshape((w.shape[0], c) + sp)
+            wt = np.moveaxis(wt, 1, -1).reshape(w.shape[0], -1)
+            out.append((wt, b))
+        else:
+            # (C*n, z) -> (C, *sp, z) -> (*sp, C, z) -> (n*C, z)
+            wt = w.reshape((c,) + sp + (w.shape[1],))
+            wt = np.moveaxis(wt, 0, -2).reshape(-1, w.shape[1])
+            bt = None
+            if b is not None:
+                bt = np.moveaxis(b.reshape((c,) + sp), 0, -1).ravel()
+            out.append((wt, bt))
+    return out
+
+
+def _apply_mapping(params: Dict, bstats: Dict, torch_sd: Dict[str, Any],
+                   mapping: List[Tuple]) -> None:
+    """Fills flax modules at explicit paths from torch prefixes.
+
+    ``mapping`` entries are ``(torch_prefix, flax_path)`` or
+    ``(torch_prefix, flax_path, layout)`` — the optional ``layout``
+    (see `_relayout_linear`) handles Linear layers that cross the
+    NCHW->NHWC flatten boundary. Within each entry, layers are matched in
+    creation order per kind (convs/linears vs batchnorms) with shape
+    verification — the same contract `_fill_module` enforces for the
+    FCNN conversion.
+    """
+    for entry in mapping:
+        tprefix, fpath = entry[0], entry[1]
+        layout = entry[2] if len(entry) > 2 else None
+        convs, bns = _collect_layers(torch_sd, tprefix)
+        if layout is not None:
+            convs = _relayout_linear(convs, layout)
+        if not convs and not bns:
+            raise ValueError(
+                f"no torch tensors under prefix '{tprefix}'")
+        pd: Any = params
+        bd: Any = bstats
+        for name in fpath[:-1]:
+            pd = pd[name]
+            bd = bd.get(name) if isinstance(bd, dict) else None
+        leaf = fpath[-1]
+        if leaf not in pd:
+            raise ValueError(f"flax module path {fpath} not found "
+                             f"(available: {sorted(pd)})")
+        sub_p = {leaf: pd[leaf]}
+        has_b = isinstance(bd, dict) and leaf in bd
+        sub_b = {leaf: bd[leaf]} if has_b else None
+        _fill_module(sub_p, sub_b, convs, bns)
+        pd[leaf] = sub_p[leaf]
+        if has_b:
+            bd[leaf] = sub_b[leaf]
+
+
+# ---------------------------------------------------------------- ImSpec
+
+def _imspec_mapping(decoder_upsampling: bool, in_dim, out_dim,
+                    nbfilters_encoder: int, nbfilters_decoder: int,
+                    encoder_downsampling: int) -> List[Tuple]:
+    """SignalED layout (reference `ed.py:20-228` <-> flax `nets/ed.py`)."""
+    enc_sp = tuple(s // encoder_downsampling for s in in_dim) \
+        if encoder_downsampling else tuple(in_dim)
+    dec_sp = tuple(s // 4 for s in out_dim) if decoder_upsampling \
+        else tuple(out_dim)
+    m: List[Tuple] = [
+        ("encoder.conv", ("encoder", "ConvBlock_0")),
+        ("encoder.fc", ("encoder", "Dense_0"),
+         ("in", nbfilters_encoder, enc_sp)),
+        ("decoder.fc", ("decoder", "Dense_0"),
+         ("out", nbfilters_decoder, dec_sp)),
+    ]
+    if decoder_upsampling:
+        m += [("decoder.deconv1", ("decoder", "ConvBlock_0")),
+              ("decoder.deconv2", ("decoder", "ConvBlock_1")),
+              ("decoder.conv", ("decoder", "ConvBlock_2"))]
+    else:
+        m += [("decoder.conv", ("decoder", "ConvBlock_0"))]
+    m += [("decoder.dilblock", ("decoder", "DilatedBlock_0")),
+          ("decoder.out", ("decoder", "Conv_0"))]
+    return m
+
+
+def convert_imspec_state_dict(torch_state_dict: Dict[str, Any],
+                              in_dim, out_dim, latent_dim: int,
+                              **kwargs) -> Tuple[Any, Dict, Dict]:
+    """Converts a reference SignalED state_dict into (net, params,
+    batch_stats)."""
+    import jax
+    import jax.numpy as jnp
+    from ..nets import init_imspec_model
+
+    net, _ = init_imspec_model(tuple(in_dim), tuple(out_dim), latent_dim,
+                               **kwargs)
+    key = jax.random.key(0)
+    x = jnp.zeros((1,) + tuple(in_dim), jnp.float32)
+    variables = dict(net.init({"params": key, "dropout": key}, x, False))
+    params = jax.tree.map(np.asarray, variables["params"])
+    bstats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    _apply_mapping(params, bstats, torch_state_dict,
+                   _imspec_mapping(kwargs.get("decoder_upsampling", False),
+                                   in_dim, out_dim,
+                                   kwargs.get("nbfilters_encoder", 64),
+                                   kwargs.get("nbfilters_decoder", 64),
+                                   kwargs.get("encoder_downsampling", 0)))
+    return net, params, bstats
+
+
+# ------------------------------------------------------------- VAE family
+
+def _vae_encoder_mapping(conv_encoder: bool, num_layers: int,
+                         n_discrete: int, in_dim, hidden_dim: int
+                         ) -> List[Tuple]:
+    """fc/conv (j)EncoderNet (reference `ed.py:231-468`).
+
+    torch fc heads: fc11 (z_mu), fc12 (z_logstd), fc13.* (discrete); flax
+    Dense auto-numbering continues past the trunk in the same order. With
+    a conv trunk, every fc head consumes the flattened NCHW conv map and
+    needs the "in" relayout.
+    """
+    if conv_encoder:
+        lay = ("in", hidden_dim, tuple(in_dim[:2]))
+        m: List[Tuple] = [("conv", ("ConvBlock_0",)),
+                          ("fc11", ("Dense_0",), lay),
+                          ("fc12", ("Dense_1",), lay)]
+        m += [(f"fc13.{k}", (f"Dense_{2 + k}",), lay)
+              for k in range(n_discrete)]
+        return m
+    m = [(f"dense.{2 * i}", (f"Dense_{i}",)) for i in range(num_layers)]
+    m += [("fc11", (f"Dense_{num_layers}",)),
+          ("fc12", (f"Dense_{num_layers + 1}",))]
+    m += [(f"fc13.{k}", (f"Dense_{num_layers + 2 + k}",))
+          for k in range(n_discrete)]
+    return m
+
+
+def _vae_decoder_mapping(coord: int, conv_decoder: bool, num_layers: int,
+                         out_dim, hidden_dim: int) -> List[Tuple]:
+    """fc/conv/r DecoderNet (reference `ed.py:471-639`)."""
+    if coord:
+        m: List[Tuple] = [
+            ("coord_latent.fc_coord", ("coord_latent_0", "Dense_0")),
+            ("coord_latent.fc_latent", ("coord_latent_0", "Dense_1"))]
+        m += [(f"fc_decoder.{2 * i}", (f"Dense_{i}",))
+              for i in range(num_layers)]
+        m += [("out", (f"Dense_{num_layers}",))]
+        return m
+    if conv_decoder:
+        return [("fc_linear", ("Dense_0",),
+                 ("out", hidden_dim, tuple(out_dim[:2]))),
+                ("decoder", ("ConvBlock_0",)),
+                ("conv_1x1", ("Conv_0",))]
+    c = out_dim[-1] if len(out_dim) > 2 else 1
+    m = [(f"decoder.{2 * i}", (f"Dense_{i}",)) for i in range(num_layers)]
+    m += [("out", (f"Dense_{num_layers}",),
+           ("out", c, tuple(out_dim[:2])))]
+    return m
+
+
+def convert_vae_checkpoint(loaded: Dict[str, Any]):
+    """Reconstructs a (j/r)VAE model from a reference vae-type metadict
+    (reference `loaders.py:161-191`) and converts encoder+decoder weights.
+    """
+    meta = dict(loaded)
+    enc_sd = meta.pop("encoder")
+    dec_sd = meta.pop("decoder")
+    meta.pop("optimizer", None)
+    if hasattr(enc_sd, "items"):
+        enc_sd = dict(enc_sd.items())
+    if hasattr(dec_sd, "items"):
+        dec_sd = dict(dec_sd.items())
+
+    in_dim = tuple(meta["in_dim"])
+    latent_dim = meta["latent_dim"]
+    coord = meta.get("coord", 0)
+    discrete_dim = meta.get("discrete_dim")
+    nb_classes = meta.get("nb_classes", 0) or 0
+    kwargs = {k: meta[k] for k in
+              ("numlayers_encoder", "numlayers_decoder",
+               "numhidden_encoder", "numhidden_decoder",
+               "conv_encoder", "conv_decoder", "skip", "sigmoid_out")
+              if k in meta and meta[k] is not None}
+    if meta.get("softplus_out"):
+        kwargs["softplus_out"] = True
+
+    from . import dgm
+    if coord:
+        translation = coord == 3
+        if discrete_dim:
+            model = dgm.jrVAE(in_dim, latent_dim, discrete_dim,
+                              nb_classes, translation, **kwargs)
+        else:
+            model = dgm.rVAE(in_dim, latent_dim, nb_classes, translation,
+                             **kwargs)
+    else:
+        if discrete_dim:
+            model = dgm.jVAE(in_dim, latent_dim, discrete_dim,
+                             nb_classes, **kwargs)
+        else:
+            model = dgm.VAE(in_dim, latent_dim, nb_classes, **kwargs)
+    model._init_params()
+
+    import jax
+    params = jax.tree.map(np.asarray, model.params)
+    n_disc = len(discrete_dim) if discrete_dim else 0
+    _apply_mapping(params["encoder"], {}, enc_sd,
+                   _vae_encoder_mapping(meta.get("conv_encoder", False),
+                                        kwargs.get("numlayers_encoder", 2),
+                                        n_disc, in_dim,
+                                        kwargs.get("numhidden_encoder",
+                                                   128)))
+    _apply_mapping(params["decoder"], {}, dec_sd,
+                   _vae_decoder_mapping(coord,
+                                        meta.get("conv_decoder", False),
+                                        kwargs.get("numlayers_decoder", 2),
+                                        in_dim,
+                                        kwargs.get("numhidden_decoder",
+                                                   128)))
+    model.params = params
+    return model
+
+
+# ---------------------------------------------------------------- Denoiser
+
+def _denoiser_mapping(encoder_filters, decoder_filters
+                      ) -> List[Tuple[str, Tuple[str, ...]]]:
+    """DenoisingAutoencoder Sequential(encoder, decoder) layout
+    (reference `denoiser.py:83-130`): encoder interleaves ConvBlock/MaxPool
+    (pool has no params), decoder interleaves UpsampleBlock/ConvBlock with
+    a final 1x1 Conv2d."""
+    n_enc = len(encoder_filters)
+    n_dec = len(decoder_filters)
+    m: List[Tuple[str, Tuple[str, ...]]] = []
+    for i in range(n_enc):
+        m.append((f"0.{2 * i}", (f"ConvBlock_{i}",)))
+    for i in range(n_dec):
+        if i > 0:
+            m.append((f"1.{2 * i - 1}", (f"UpsampleBlock_{i - 1}",)))
+        m.append((f"1.{2 * i}", (f"ConvBlock_{n_enc + i}",)))
+    m.append((f"1.{2 * (n_dec - 1) + 1}", ("Conv_0",)))
+    return m
+
+
+def convert_denoiser_state_dict(torch_state_dict: Dict[str, Any],
+                                **meta) -> Tuple[Any, Dict, Dict]:
+    """Converts a reference DenoisingAutoencoder state_dict into (net,
+    params, batch_stats)."""
+    import jax
+    import jax.numpy as jnp
+    from .denoiser import DenoiserNet
+
+    enc_f = tuple(meta.get("encoder_filters", (8, 16, 32, 64)))
+    dec_f = tuple(meta.get("decoder_filters", (64, 32, 16, 8)))
+    net = DenoiserNet(enc_f, dec_f,
+                      tuple(meta.get("encoder_layers", (1, 2, 2, 2))),
+                      tuple(meta.get("decoder_layers", (2, 2, 2, 1))),
+                      meta.get("use_batch_norm", True),
+                      meta.get("upsampling_mode", "nearest"))
+    key = jax.random.key(0)
+    s = 2 ** (len(enc_f) - 1) * 4
+    x = jnp.zeros((1, s, s, 1), jnp.float32)
+    variables = dict(net.init({"params": key, "dropout": key}, x, False))
+    params = jax.tree.map(np.asarray, variables["params"])
+    bstats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    _apply_mapping(params, bstats, torch_state_dict,
+                   _denoiser_mapping(enc_f, dec_f))
+    return net, params, bstats
+
+
+# ---------------------------------------------------------------- loaders
+
+def _load_seg_checkpoint(loaded: Dict[str, Any]):
     model = loaded.get("model", "Unet")
     nb_classes = loaded.get("nb_classes", 1)
     kwargs = {k: loaded[k] for k in
@@ -218,6 +496,120 @@ def load_torch_checkpoint(filepath: str):
     smodel.params = params
     smodel.batch_stats = bstats if bstats else None
     return smodel
+
+
+def _load_imspec_checkpoint(loaded: Dict[str, Any]):
+    in_dim = tuple(loaded["in_dim"])
+    out_dim = tuple(loaded["out_dim"])
+    latent_dim = loaded.get("latent_dim", 2)
+    kwargs = {k: loaded[k] for k in
+              ("nblayers_encoder", "nblayers_decoder", "nbfilters_encoder",
+               "nbfilters_decoder", "encoder_downsampling",
+               "decoder_upsampling") if k in loaded
+              and loaded[k] is not None}
+    if "batchnorm" in loaded:
+        kwargs["batch_norm"] = loaded["batchnorm"]
+    sd = loaded["weights"]
+    if hasattr(sd, "items"):
+        sd = dict(sd.items())
+    _, params, bstats = convert_imspec_state_dict(
+        sd, in_dim, out_dim, latent_dim, **kwargs)
+
+    from .imspec import ImSpec
+    model = ImSpec(in_dim, out_dim, latent_dim, **kwargs)
+    model.params = params
+    model.batch_stats = bstats if bstats else None
+    return model
+
+
+def _load_denoiser_checkpoint(loaded: Dict[str, Any]):
+    sd = loaded["weights"]
+    if hasattr(sd, "items"):
+        sd = dict(sd.items())
+    meta = {k: loaded[k] for k in
+            ("encoder_filters", "decoder_filters", "encoder_layers",
+             "decoder_layers", "use_batch_norm", "upsampling_mode")
+            if k in loaded and loaded[k] is not None}
+    _, params, bstats = convert_denoiser_state_dict(sd, **meta)
+
+    from .denoiser import DenoisingAutoencoder
+    model = DenoisingAutoencoder(**meta)
+    model.params = params
+    model.batch_stats = bstats if bstats else None
+    return model
+
+
+def load_torch_checkpoint(filepath: str):
+    """Loads a reference .tar checkpoint and returns an equivalent
+    atomai_tpu model.
+
+    Supported ``model_type``: 'seg', 'imspec', 'vae' (incl. rVAE/jVAE/
+    jrVAE via the stored ``coord``/``discrete_dim``), and
+    'denoising_autoencoder' — the full `load_model` dispatch surface of
+    the reference (`loaders.py:25-64`) except 'reg'/'cls', whose
+    reference nets are torchvision ImageNet backbones with no structural
+    counterpart here (see `Regressor` docs).
+    """
+    import torch
+
+    loaded = torch.load(filepath, map_location="cpu",
+                        weights_only=False)
+    model_type = loaded.get("model_type")
+    if model_type == "seg":
+        return _load_seg_checkpoint(loaded)
+    if model_type == "imspec":
+        return _load_imspec_checkpoint(loaded)
+    if model_type == "vae":
+        return convert_vae_checkpoint(loaded)
+    if model_type == "denoising_autoencoder":
+        return _load_denoiser_checkpoint(loaded)
+    if model_type in ("reg", "cls"):
+        raise NotImplementedError(
+            "Reference 'reg'/'cls' checkpoints wrap torchvision ImageNet "
+            "backbones (reference `nets/blocks.py:332-399`); atomai_tpu "
+            "uses its own ConvBackbone, so those weights have no "
+            "structural mapping. Re-train with "
+            "atomai_tpu.models.Regressor/Classifier.")
+    raise NotImplementedError(
+        f"Torch checkpoint conversion for model_type={model_type} is not "
+        "implemented (supported: 'seg', 'imspec', 'vae', "
+        "'denoising_autoencoder')")
+
+
+def load_torch_ensemble(filepath: str):
+    """Loads a reference ensemble metadict
+    (`*_ensemble_metadict.tar`, reference `etrainer.py:290-298` /
+    `loaders.py:238-269`) and returns ``(model, member_params)`` where
+    ``model`` carries the ensemble-averaged weights and ``member_params``
+    is a member-stacked params pytree directly usable by
+    ``EnsemblePredictor``."""
+    import jax
+    import numpy as np_
+    import torch
+
+    loaded = torch.load(filepath, map_location="cpu",
+                        weights_only=False)
+    model_type = loaded.get("model_type")
+    if model_type != "seg":
+        raise NotImplementedError(
+            "Ensemble conversion currently supports segmentation "
+            f"ensembles only (got model_type={model_type})")
+    members = loaded["weights"]
+    if not isinstance(members, dict):
+        raise ValueError("expected ensemble weights as {index: state_dict}")
+
+    per_member = []
+    model = None
+    for idx in sorted(members):
+        entry = dict(loaded)
+        entry["weights"] = members[idx]
+        m = _load_seg_checkpoint(entry)
+        per_member.append(m.params)
+        model = m
+    stacked = jax.tree.map(lambda *xs: np_.stack(xs), *per_member)
+    # averaged-weights model (reference `load_ensemble` returns the mean)
+    model.params = jax.tree.map(lambda x: x.mean(0), stacked)
+    return model, stacked
 
 
 def load_pretrained_model(model_name: str):

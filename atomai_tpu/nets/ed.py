@@ -319,11 +319,13 @@ class rDecoderNet(nn.Module):
         batch_dim = x_coord.shape[0]
         h = coord_latent(self.hidden_dim, not self.skip)(x_coord, z)
         if self.skip:
+            # residual added after every Dense+tanh pair: the reference
+            # iterates [Linear, Tanh]*L and adds at every even module index
+            # (`ed.py:626-630`), i.e. once per layer.
             residual = h
-            for i in range(self.num_layers):
+            for _ in range(self.num_layers):
                 h = jnp.tanh(nn.Dense(self.hidden_dim)(h))
-                if (i + 1) % 2 == 0:
-                    h = h + residual
+                h = h + residual
         else:
             for _ in range(self.num_layers):
                 h = jnp.tanh(nn.Dense(self.hidden_dim)(h))
