@@ -619,13 +619,17 @@ class BaseTrainer:
         if jit_eval is None:
             jit_eval = jax.jit(self._apply_eval)
             self._jit_eval_apply = jit_eval
+        # device values are accumulated without per-batch host syncs and
+        # pulled once at the end (the float() conversion blocks)
         losses, accs = [], []
         for i in range(self.Xb_test.shape[0]):
             out = jit_eval(self.params, self.batch_stats,
                            self.Xb_test[i])
-            losses.append(float(self.criterion(out, self.yb_test[i])))
+            losses.append(self.criterion(out, self.yb_test[i]))
             if self._has_accuracy():
-                accs.append(float(self.accuracy_fn(self.yb_test[i], out)))
+                accs.append(self.accuracy_fn(self.yb_test[i], out))
+        losses = [float(v) for v in jax.device_get(losses)]
+        accs = [float(v) for v in jax.device_get(accs)]
         print("Model (final state) evaluation loss:",
               np.around(np.mean(losses), 4))
         if accs:

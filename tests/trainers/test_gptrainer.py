@@ -179,3 +179,36 @@ def test_custom_kernel_variance_uses_kernel_diag(gp_data):
           base_kernel=doubled)
     _, vv = g.predict(X[:10, :2])
     assert (vv > 0).all()
+
+
+def test_sgpr_reconstruction_parity_with_exact():
+    """SGPR (the KISS-GP substitute, `gptrainer.py:100-170`) must match
+    exact-GP reconstruction accuracy at the reference's default grid
+    density (grid_size=50 on the pixel grid, `/root/reference/atomai/
+    nets/gp.py:118-121`) — SURVEY.md hard-part #4's documented-parity
+    requirement."""
+    from atomai_tpu.models import Reconstructor
+
+    n = 40
+    xx, yy = np.meshgrid(np.linspace(0, 3, n), np.linspace(0, 3, n))
+    truth = (np.sin(2 * xx) * np.cos(1.5 * yy)).astype(np.float32)
+    rng = np.random.RandomState(0)
+    mask = rng.rand(n, n) < 0.35
+    sparse = np.where(mask, truth + 0.02 * rng.randn(n, n), 0
+                      ).astype(np.float32)
+
+    recon_exact = Reconstructor(seed=1).reconstruct(
+        sparse, training_cycles=60, kernel_type="exact", print_loss=60)
+    recon_sgpr = Reconstructor(seed=1).reconstruct(
+        sparse, training_cycles=60, kernel_type="kissgp",
+        grid_points_ratio=1.0, print_loss=60)
+
+    rmse_exact = float(np.sqrt(np.mean((recon_exact - truth) ** 2)))
+    rmse_sgpr = float(np.sqrt(np.mean((recon_sgpr - truth) ** 2)))
+    rmse_mean_fill = float(np.sqrt(np.mean(
+        (np.full_like(truth, truth[mask].mean()) - truth) ** 2)))
+    # both reconstruct far better than trivial fill, and SGPR is within
+    # 1.5x of the exact-GP error
+    assert rmse_exact < 0.3 * rmse_mean_fill
+    assert rmse_sgpr < 0.3 * rmse_mean_fill
+    assert rmse_sgpr < 1.5 * rmse_exact + 1e-3

@@ -111,3 +111,62 @@ def test_get_contours_and_blob_params():
     assert contours[0].shape[-1] == 2
     blobs = get_blob_params(img[None, ..., None], 0.5, 10)
     assert blobs[0]["coordinates"] is not None
+
+
+# ---- interpolation-semantics tolerance tests (SURVEY.md hard-part #3:
+# cv2 INTER_AREA/INTER_CUBIC vs jax.image — match within tolerance, not
+# bit-exactly). torch.nn.functional.interpolate follows the same
+# half-pixel-center conventions as OpenCV for these modes and serves as
+# the oracle (cv2 itself is not installed in this environment).
+
+def _smooth_image(n=64):
+    x = np.linspace(0, 3 * np.pi, n)
+    return (np.sin(x)[:, None] * np.cos(x * 0.7)[None, :] * 0.5
+            + 0.5).astype(np.float32)
+
+
+def test_resize_upsample_matches_torch_bilinear():
+    import torch
+    import torch.nn.functional as F
+    from atomai_tpu.utils.img import cv_resize
+
+    img = _smooth_image(32)
+    ours = cv_resize(img, (64, 64))
+    with torch.no_grad():
+        ref = F.interpolate(torch.from_numpy(img)[None, None],
+                            size=(64, 64), mode="bilinear",
+                            align_corners=False).numpy()[0, 0]
+    assert np.abs(ours - ref).max() < 0.02
+    assert np.corrcoef(ours.ravel(), ref.ravel())[0, 1] > 0.9999
+
+
+def test_resize_downsample_matches_torch_area():
+    """jax.image.resize anti-aliased linear downsampling approximates
+    cv2.INTER_AREA (= torch 'area') on smooth images (reference uses
+    INTER_AREA/INTER_CUBIC in `utils/img.py:64`)."""
+    import torch
+    import torch.nn.functional as F
+    from atomai_tpu.utils.img import cv_resize
+
+    img = _smooth_image(64)
+    ours = cv_resize(img, (16, 16))
+    with torch.no_grad():
+        ref = F.interpolate(torch.from_numpy(img)[None, None],
+                            size=(16, 16), mode="area").numpy()[0, 0]
+    assert np.abs(ours - ref).max() < 0.03
+    assert np.corrcoef(ours.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_resize_downsample_matches_torch_bicubic():
+    import torch
+    import torch.nn.functional as F
+    from atomai_tpu.utils.img import cv_resize
+
+    img = _smooth_image(48)
+    ours = cv_resize(img, (24, 24))
+    with torch.no_grad():
+        ref = F.interpolate(torch.from_numpy(img)[None, None],
+                            size=(24, 24), mode="bicubic",
+                            align_corners=False,
+                            antialias=True).numpy()[0, 0]
+    assert np.abs(ours - ref).max() < 0.03
