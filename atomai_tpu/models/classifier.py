@@ -13,6 +13,11 @@ from ..transforms import reg_augmentor
 class Classifier(clsTrainer):
     """Model for image classification.
 
+    Capability note (vs reference): backbone names select from-scratch
+    ConvBackbone presets, not ImageNet-pretrained torchvision models —
+    see the :class:`~atomai_tpu.models.Regressor` docstring for the
+    rationale and the synthetic-pretraining alternative.
+
     Example:
         >>> model = aoi.models.Classifier(nb_classes=3, backbone="resnet")
         >>> model.fit(imgs, labels, imgs_t, labels_t, training_cycles=50)

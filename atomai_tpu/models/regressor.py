@@ -14,6 +14,19 @@ from ..transforms import reg_augmentor
 class Regressor(RegTrainer):
     """Model for image-based regression analysis.
 
+    Capability note (vs reference): the reference's mobilenet/resnet/vgg
+    backbones are torchvision models shipping ImageNet weights
+    (`atomai/nets/blocks.py:332-399`), giving it transfer learning out of
+    the box. Here the same backbone names select size-matched ConvBackbone
+    presets that train **from scratch** — ImageNet weights are not
+    distributable with this package, and their NCHW torchvision
+    architectures (depthwise blocks, downsample shortcuts) have no
+    structural mapping onto the NHWC/flax backbone. For label-scarce
+    problems, pre-train the backbone on synthetic data
+    (``aoi.utils.make_lattice_stack``/``imgen``) and keep training it;
+    weights saved by one Regressor/Classifier load into another via
+    ``load_weights``.
+
     Example:
         >>> model = aoi.models.Regressor(out_dim=1, backbone="mobilenet")
         >>> model.fit(imgs, values, imgs_t, values_t, training_cycles=50)
