@@ -56,15 +56,12 @@ class BaseVAE(viBaseTrainer):
                  discrete_dim: Optional[List[int]] = None, seed: int = 0,
                  **kwargs) -> None:
         super().__init__(seed=max(seed, 0) + 1)
-        in_dim_error_msg = (
-            "You must specify the input dimensions and pass them as a "
-            "tuple. For images, specify (height, width) or (height, "
-            "width, channels) if multiple channels. For spectra, specify "
-            "(length,)")
-        if in_dim is None or not isinstance(in_dim, (tuple, list)):
-            raise AssertionError(in_dim_error_msg)
-        if not isinstance(in_dim[0], int):
-            raise AssertionError(in_dim_error_msg)
+        bad_in_dim = (
+            "in_dim must be a tuple of ints: (height, width[, channels]) "
+            "for images or (length,) for spectra")
+        if not isinstance(in_dim, (tuple, list)) or len(in_dim) == 0 \
+                or not isinstance(in_dim[0], int):
+            raise AssertionError(bad_in_dim)
 
         self.in_dim = tuple(in_dim)
         self.z_dim = latent_dim
@@ -186,58 +183,63 @@ class BaseVAE(viBaseTrainer):
             alphas = to_onehot(np.array([label]), n)
         z_sd = np.exp(z_logsd)
         rng = np.random.RandomState(0)
-        decoded_all = []
-        for _ in range(num_samples):
-            z_sample = z_mean + z_sd * rng.randn(*z_mean.shape)
-            z_sample = z_sample.reshape(1, -1) if z_sample.shape[0] == 1 \
-                else z_sample
-            if (alphas is not None):
-                z_sample = np.concatenate(
-                    [z_sample, np.broadcast_to(
-                        alphas, (z_sample.shape[0], alphas.shape[-1]))],
-                    axis=1)
-            decoded_all.append(self.decode(z_sample))
-        return np.concatenate(decoded_all, axis=0)
+        # all samples for all inputs drawn at once and decoded in a single
+        # batched device call (the reference loops decode() per sample);
+        # sample-major layout keeps the reference's output ordering
+        eps = rng.randn(num_samples, *z_mean.shape)
+        z_samples = (z_mean[None] + z_sd[None] * eps).reshape(
+            -1, z_mean.shape[-1])
+        if alphas is not None:
+            per_input = np.broadcast_to(
+                alphas, (z_mean.shape[0], alphas.shape[-1]))
+            z_samples = np.concatenate(
+                [z_samples, np.tile(per_input, (num_samples, 1))], axis=1)
+        return self.decode(z_samples)
 
     def encode_images(self, imgdata, **kwargs
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Encodes every pixel of every image (reference
         `vae.py:273-298`)."""
-        if (imgdata.ndim == len(self.in_dim) == 2 or
-                imgdata.ndim == len(self.in_dim) == 3):
-            imgdata = np.expand_dims(imgdata, axis=0)
-        imgdata_encoded, imgdata_ = [], []
+        if imgdata.ndim == len(self.in_dim):
+            imgdata = imgdata[None]
+        cropped, encoded = [], []
+        n = imgdata.shape[0]
         for i, img in enumerate(imgdata):
-            print("\rImage {}/{}".format(i + 1, imgdata.shape[0]), end="")
-            img_, img_encoded = self.encode_image_(img, **kwargs)
-            imgdata_encoded.append(img_encoded)
-            imgdata_.append(img_)
-        return np.array(imgdata_), np.array(imgdata_encoded)
+            print(f"\rImage {i + 1}/{n}", end="")
+            c, e = self.encode_image_(img, **kwargs)
+            cropped.append(c)
+            encoded.append(e)
+        return np.array(cropped), np.array(encoded)
 
     def encode_image_(self, img, **kwargs
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Encodes a subimage around each pixel (reference
         `vae.py:300-344`)."""
         num_batches = kwargs.get("num_batches", 10)
-        inf = int(1e5)
-        img_to_encode = img.copy()
-        coordinates = get_coord_grid(img_to_encode, 1, return_dict=False)
-        batch_size = max(coordinates.shape[0] // num_batches, 1)
-        encoded_img = -inf * np.ones(
-            (*img_to_encode.shape, self.z_dim))
-        for i in range(0, coordinates.shape[0], batch_size):
-            coord_i = coordinates[i:i + batch_size]
-            subimgs_i, com_i, _ = extract_subimages(
-                img_to_encode, coord_i, self.in_dim[0])
-            if len(subimgs_i) > 0:
-                z_mean = self.encode(subimgs_i.squeeze(-1),
-                                     num_batches=10)[0]
-                for k, (l, m) in enumerate(com_i):
-                    encoded_img[int(l), int(m)] = z_mean[k]
-        img_to_encode[encoded_img[..., 0] == -inf] = 0
-        img_to_encode = crop_borders(img_to_encode[..., None], 0)
-        encoded_img = crop_borders(encoded_img, -inf)
-        return img_to_encode[..., 0], encoded_img
+        marker = -float(1e5)
+        img_out = img.copy()
+        coordinates = get_coord_grid(img_out, 1, return_dict=False)
+        chunk = max(coordinates.shape[0] // num_batches, 1)
+        # buffer width = the encoder's continuous-mean width (z_mean);
+        # the reference sizes it z_dim and crashes for joint VAEs
+        zw = self.z_dim - (sum(self.discrete_dim)
+                           if self.discrete_dim else 0)
+        encoded_img = np.full((*img_out.shape, zw), marker, np.float32)
+        # chunked window extraction bounds host memory; within a chunk the
+        # windows are encoded in one batched call and written back with a
+        # vectorized scatter
+        for i in range(0, coordinates.shape[0], chunk):
+            windows, centers, _ = extract_subimages(
+                img_out, coordinates[i:i + chunk], self.in_dim[0])
+            if len(windows) == 0:
+                continue
+            z_mean = self.encode(windows.squeeze(-1), num_batches=1)[0]
+            ij = centers.astype(np.int64)
+            encoded_img[ij[:, 0], ij[:, 1]] = z_mean
+        img_out[encoded_img[..., 0] == marker] = 0
+        img_out = crop_borders(img_out[..., None], 0)
+        encoded_img = crop_borders(encoded_img, marker)
+        return img_out[..., 0], encoded_img
 
     def encode_trajectories(self, imgdata, coord_class_dict,
                             window_size: int, min_length: int, rmax: int,
@@ -270,7 +272,8 @@ class BaseVAE(viBaseTrainer):
         else:
             grid_x = norm_ppf(np.linspace(0.95, 0.05, d))
             grid_y = norm_ppf(np.linspace(0.05, 0.95, d))
-        z = np.array([[xi, yi] for xi in grid_x for yi in grid_y])
+        gx, gy = np.meshgrid(grid_x, grid_y, indexing="ij")
+        z = np.stack([gx.ravel(), gy.ravel()], axis=-1)
         if self.discrete_dim:
             z_disc = np.zeros((len(z), sum(self.discrete_dim)))
             z_disc[:, kwargs.get("disc_idx", 0)] = 1
@@ -280,14 +283,11 @@ class BaseVAE(viBaseTrainer):
         else:
             imdec = self.decode(z)
         h, w = self.in_dim[:2]
-        if len(self.in_dim) == 2:
-            figure = np.zeros((h * d, w * d))
-        else:
-            figure = np.zeros((h * d, w * d, self.in_dim[-1]))
-        for i in range(d):
-            for j in range(d):
-                figure[i * h:(i + 1) * h, j * w:(j + 1) * w] = \
-                    imdec[i * d + j]
+        # (d*d, h, w[, c]) -> (d*h, d*w[, c]) tile layout via reshape
+        tiles = imdec.reshape((d, d, h, w) + imdec.shape[3:])
+        figure = tiles.transpose(
+            (0, 2, 1, 3) + tuple(range(4, tiles.ndim)))
+        figure = figure.reshape((d * h, d * w) + imdec.shape[3:])
         if figure.min() < 0:
             figure = (figure - figure.min()) / np.ptp(figure)
         if kwargs.get("savefig"):
@@ -312,23 +312,16 @@ class BaseVAE(viBaseTrainer):
             raise TypeError(
                 "Traversal of latent space is implemented only for joint "
                 "continuous and discrete latent distributions")
-        num_samples = d ** 2
         cont_dim = self.z_dim - sum(self.discrete_dim) - self.coord
-        samples_cont = np.zeros((num_samples, cont_dim)) + cont_idx_fixed
-        cdf_traversal = np.linspace(0.05, 0.95, d)
-        cont_traversal = norm_ppf(cdf_traversal)
-        for i in range(d):
-            for j in range(d):
-                samples_cont[i * d + j, cont_idx] = cont_traversal[j]
         disc_dim = self.discrete_dim[0]
-        n = np.arange(0, disc_dim)
-        n = np.tile(n, d // disc_dim + 1)[:d]
-        samples_disc = []
-        for i in range(d):
-            samples_disc_i = np.zeros((d, disc_dim))
-            samples_disc_i[:, n[i]] = 1
-            samples_disc.append(samples_disc_i)
-        samples_disc = np.concatenate(samples_disc)
+        # rows sweep the discrete one-hot (cycled), columns sweep the
+        # chosen continuous latent through normal quantiles
+        cont_traversal = norm_ppf(np.linspace(0.05, 0.95, d))
+        samples_cont = np.full((d * d, cont_dim), float(cont_idx_fixed))
+        samples_cont[:, cont_idx] = np.tile(cont_traversal, d)
+        row_categories = np.resize(np.arange(disc_dim), d)
+        onehot_rows = np.eye(disc_dim)[row_categories]      # (d, disc)
+        samples_disc = np.repeat(onehot_rows, d, axis=0)    # (d*d, disc)
         samples = np.concatenate((samples_cont, samples_disc), -1)
         decoded = self.decode(samples)
         decoded = decoded.transpose(0, 3, 1, 2) if decoded.ndim == 4 \
@@ -353,32 +346,24 @@ class BaseVAE(viBaseTrainer):
 
     def _check_inputs(self, X_train, y_train=None, X_test=None,
                       y_test=None) -> None:
-        """Input validation (reference `vae.py:543-578`)."""
-        if self.in_dim != X_train.shape[1:]:
-            raise RuntimeError(
-                "The values of input dimensions you specified do not "
-                "match the training data dimensions. Expected {} but got "
-                "{}".format(self.in_dim, X_train.shape[1:]))
-        if X_test is not None and self.in_dim != X_test.shape[1:]:
-            raise RuntimeError(
-                "The values of input dimensions you specified do not "
-                "match the test data dimensions. Expected {} but got "
-                "{}".format(self.in_dim, X_test.shape[1:]))
-        if y_train is not None and self.nb_classes == 0:
-            raise RuntimeError(
-                "You must have forgotten to specify number of classes "
-                "during the initialization.")
-        lbl_match = True
-        if y_train is not None and y_test is None:
-            lbl_match = self.nb_classes == len(np.unique(y_train))
-        elif y_train is not None and y_test is not None:
-            lbl_match = (self.nb_classes == len(np.unique(y_train))
-                         == len(np.unique(y_test)))
-        if not lbl_match:
-            raise RuntimeError(
-                "The number of classes specified at initialization must "
-                "be equal to the number of classes in train and test "
-                "labels")
+        """Input validation (reference behavior: `vae.py:543-578`)."""
+        for name, arr in (("train", X_train), ("test", X_test)):
+            if arr is not None and tuple(arr.shape[1:]) != self.in_dim:
+                raise RuntimeError(
+                    f"{name} data shape {tuple(arr.shape[1:])} does not "
+                    f"match in_dim={self.in_dim}")
+        if y_train is not None:
+            if self.nb_classes == 0:
+                raise RuntimeError(
+                    "labels were passed but the model was constructed "
+                    "with nb_classes=0")
+            n_lbl = {len(np.unique(y_train))}
+            if y_test is not None:
+                n_lbl.add(len(np.unique(y_test)))
+            if n_lbl != {self.nb_classes}:
+                raise RuntimeError(
+                    f"nb_classes={self.nb_classes} does not match the "
+                    f"number of distinct labels {sorted(n_lbl)}")
 
     def _fit_loop(self, X_train, y_train, X_test, y_test, loss, **kwargs):
         """Common epoch loop shared by all VAE flavors
