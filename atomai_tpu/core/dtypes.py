@@ -75,3 +75,24 @@ def enable_fast_matmul() -> None:
             "float32", "f32", "highest"):
         return
     jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+
+def enable_compilation_cache(path: str = "/tmp/atomai_tpu_xla_cache",
+                             min_compile_secs: float = 0.0) -> None:
+    """Enables JAX's persistent compilation cache.
+
+    Identical HLO programs (same net/shape/config) compile once and are
+    reloaded from disk afterwards — across processes AND across repeated
+    jit traces within one process. On the single-core CPU test platform
+    XLA compilation dominates suite wall time, and on the TPU tunnel the
+    first train-step compile costs tens of seconds, so both the test
+    suite and the bench enable this.
+    """
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without the knobs: cache is best-effort
+        pass

@@ -172,11 +172,15 @@ def make_inducing_grid(X, grid_points_ratio: float = 1.0,
                        max_points: int = 1024) -> jnp.ndarray:
     """Regular inducing grid over the input bounding box — the TPU-native
     analog of gpytorch's choose_grid_size + grid interpolation
-    (`atomai/nets/gp.py:118-121`)."""
+    (`atomai/nets/gp.py:118-121`).
+
+    The grid never exceeds the training-set size: SGPR with more inducing
+    points than data points costs extra O(m^3) for no accuracy gain (at
+    m = n the bound is already exact)."""
     X = np.asarray(X)
     d = X.shape[-1]
-    per_dim = max(2, int(round((max_points * grid_points_ratio)
-                               ** (1.0 / d))))
+    budget = min(max_points * grid_points_ratio, X.shape[0])
+    per_dim = max(2, int(round(budget ** (1.0 / d))))
     axes = [np.linspace(X[:, i].min(), X[:, i].max(), per_dim)
             for i in range(d)]
     grid = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, d)

@@ -16,6 +16,14 @@ import jax  # noqa: E402
 # platform; tests must run on the local virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compilation cache: identical programs (same net/shape)
+# compile once per cache lifetime instead of once per test/process — on
+# this single-core container, compilation dominates suite wall time.
+from atomai_tpu.core.dtypes import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), "..",
+                                      ".cache", "xla"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
