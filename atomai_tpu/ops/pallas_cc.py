@@ -72,9 +72,9 @@ def label_components_pallas(mask: jnp.ndarray, max_iters: int = 4096,
     lab_f = pl.pallas_call(
         partial(_cc_kernel, max_iters=max_iters),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+        out_specs=pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         interpret=interpret,
     )(mask.astype(jnp.float32))

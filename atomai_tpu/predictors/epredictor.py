@@ -138,12 +138,12 @@ class EnsemblePredictor(BasePredictor):
             # explicit SPMD over the member axis: each device runs its
             # local members' forwards; input replicates (GSPMD cannot
             # split the vmapped grouped convolutions)
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             from ..core.mesh import MODEL_AXIS
             vfwd = shard_map(vfwd, mesh=self._mesh,
                              in_specs=(P(MODEL_AXIS), P()),
-                             out_specs=P(MODEL_AXIS), check_rep=False)
+                             out_specs=P(MODEL_AXIS), check_vma=False)
         return jax.jit(vfwd)
 
     def ensemble_forward(self, data, out_shape=None, num_batches: int = 1

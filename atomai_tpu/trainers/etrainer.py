@@ -243,7 +243,7 @@ class BaseEnsembleTrainer(BaseTrainer):
             # Explicit SPMD over the member axis: each device trains its
             # local members; batches replicate. (GSPMD auto-partitioning is
             # avoided — it cannot split the vmapped grouped convolutions.)
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             M, R = P(MODEL_AXIS), P()
             bspec = M if has_bn else R
@@ -251,7 +251,7 @@ class BaseEnsembleTrainer(BaseTrainer):
                 vstep, mesh=mesh,
                 in_specs=(M, bspec, M, M, M, M, M, R, R, R),
                 out_specs=(M, bspec, M, M, M, M),
-                check_rep=False)
+                check_vma=False)
 
         @jax.jit
         def run_all(params_stack, bs_stack, opt_stack, sched, mkeys,
