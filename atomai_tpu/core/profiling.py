@@ -60,3 +60,65 @@ def device_memory_stats() -> Dict[str, Dict[str, Any]]:
 def block_until_ready(tree: Any) -> Any:
     """Blocks until all arrays in a pytree are computed."""
     return jax.block_until_ready(tree)
+
+
+def jaxpr_matmul_flops(fn, *args, **kwargs) -> float:
+    """Analytic MXU FLOPs (convs + dots) of ``fn(*args)``.
+
+    Walks the jaxpr counting ``conv_general_dilated`` and ``dot_general``
+    primitives (2 * output_size * reduction_size each), recursing into
+    scan/while/cond/pjit sub-jaxprs with their trip counts. Backward-pass
+    convolutions appear as first-class conv primitives after autodiff, so
+    tracing a grad step counts forward+backward automatically.
+
+    This replaces ``compiled.cost_analysis()['flops']`` for MFU
+    accounting: on TPU the MXU convolutions lower to custom calls whose
+    cost analysis reports ~0 FLOPs, underestimating by orders of
+    magnitude.
+    """
+    import numpy as np
+
+    closed = jax.make_jaxpr(fn, **kwargs)(*args)
+
+    def prod(shape):
+        out = 1.0
+        for s in shape:
+            out *= float(s)
+        return out
+
+    def eqn_flops(eqn) -> float:
+        name = eqn.primitive.name
+        if name == "conv_general_dilated":
+            out = eqn.outvars[0].aval.shape
+            rhs = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            out_feature_dim = dn.rhs_spec[0]  # kernel's O dim index
+            red = prod(rhs) / float(rhs[out_feature_dim])
+            return 2.0 * prod(out) * red
+        if name == "dot_general":
+            (lc, _), _ = eqn.params["dimension_numbers"]
+            lhs = eqn.invars[0].aval.shape
+            out = eqn.outvars[0].aval.shape
+            red = prod([lhs[d] for d in lc])
+            return 2.0 * prod(out) * red
+        total = 0.0
+        mult = 1.0
+        if name == "scan":
+            mult = float(eqn.params.get("length", 1))
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                total += jaxpr_flops(v.jaxpr)
+            elif hasattr(v, "eqns"):  # raw Jaxpr
+                total += jaxpr_flops(v)
+            elif isinstance(v, (list, tuple)):
+                for vi in v:
+                    if hasattr(vi, "jaxpr"):
+                        total += jaxpr_flops(vi.jaxpr)
+                    elif hasattr(vi, "eqns"):
+                        total += jaxpr_flops(vi)
+        return total * mult
+
+    def jaxpr_flops(jaxpr) -> float:
+        return sum(eqn_flops(e) for e in jaxpr.eqns)
+
+    return jaxpr_flops(closed.jaxpr)

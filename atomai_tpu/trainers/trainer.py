@@ -548,9 +548,11 @@ class BaseTrainer:
         self.run()
 
     def train_flops_per_cycle(self) -> Optional[float]:
-        """XLA cost-analysis FLOPs for ONE training cycle, for MFU
-        accounting. Lowers the compiled chunk with the same shapes run()
-        uses (so the jit cache is hit; no extra device compile). Returns
+        """Analytic MXU FLOPs (convs + dots, fwd+bwd) for ONE training
+        cycle, for MFU accounting. Counted by walking the jaxpr of the
+        already-built chunk function (`core.profiling.jaxpr_matmul_flops`)
+        — XLA's own ``cost_analysis`` reports ~0 FLOPs for the TPU conv
+        custom calls and underestimates by orders of magnitude. Returns
         None on the CPU python-loop engine."""
         if jax.default_backend() == "cpu":
             return None
@@ -569,11 +571,9 @@ class BaseTrainer:
         else:
             xs = (es, keys)
         try:
-            compiled = self._compiled_chunk.lower(carry, xs).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            return float(ca["flops"]) / chunk
+            from ..core.profiling import jaxpr_matmul_flops
+            return jaxpr_matmul_flops(
+                self._compiled_chunk, carry, xs) / chunk
         except Exception:
             return None
 

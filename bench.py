@@ -194,6 +194,11 @@ def main():
                 rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
             "mfu_config_a": round(mfu, 4) if mfu else None,
             "flops_per_cycle": flops_per_cycle,
+            "mfu_note": (
+                "analytic conv+dot FLOPs (fwd+bwd) / wall / 197 TF bf16 "
+                "peak; config A's 16-filter UNet with train-mode BN is "
+                "HBM-bandwidth-bound at batch 32, so single-digit MFU is "
+                "the roofline-consistent regime, not an MXU stall"),
             "imspec_cycles_per_sec": round(imspec_cps, 2),
             "imspec_vs_baseline": round(imspec_vs, 1),
             "ensemble_aug_512_images_per_sec": round(ens_img_per_s, 2),
