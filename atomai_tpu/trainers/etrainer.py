@@ -38,7 +38,12 @@ def _stack_trees(trees):
 
 
 def _unstack_tree(tree, n):
-    return [jax.tree.map(lambda x: x[i], tree) for i in range(n)]
+    # One overlapped device->host transfer of the whole stacked tree, then
+    # zero-copy numpy views per member. Eagerly slicing on device would
+    # dispatch n * n_leaves tiny ops and fetch each leaf separately —
+    # ruinous over a remote-TPU tunnel (~0.14 s latency per fetch).
+    host = jax.device_get(tree)
+    return [jax.tree.map(lambda x: x[i], host) for i in range(n)]
 
 
 def shard_member_stacked(tree, mesh):
@@ -110,18 +115,24 @@ class BaseEnsembleTrainer(BaseTrainer):
         Xb, yb = self.Xb_train, self.yb_train
         nb = int(Xb.shape[0])
 
-        # per-member init
+        # per-member init: one vmapped (jit-cached) init over member keys
+        # instead of n_models sequential flax traces + a host-side stack
         if from_params is None:
             keys = jax.random.split(self.keys.next(), n_models)
-            inits = []
-            for i in range(n_models):
-                v = self.net.init({"params": keys[i], "dropout": keys[i]},
-                                  self._example_input(), False)
-                inits.append(dict(v))
-            params_stack = _stack_trees([v["params"] for v in inits])
-            bs_stack = _stack_trees(
-                [v["batch_stats"] for v in inits]) \
-                if "batch_stats" in inits[0] else None
+            x0 = self._example_input()
+            init_key = (id(self.net), tuple(x0.shape), n_models)
+            vinit_cache = getattr(self, "_vinit_cache", None)
+            if vinit_cache is None:
+                vinit_cache = self._vinit_cache = {}
+            vinit = vinit_cache.get(init_key)
+            if vinit is None:
+                vinit = jax.jit(jax.vmap(
+                    lambda k: dict(self.net.init(
+                        {"params": k, "dropout": k}, x0, False))))
+                vinit_cache[init_key] = vinit
+            stacked = vinit(keys)
+            params_stack = stacked["params"]
+            bs_stack = stacked.get("batch_stats")
         else:
             params_stack = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (n_models,) + x.shape),
@@ -314,10 +325,12 @@ class BaseEnsembleTrainer(BaseTrainer):
             n_models, cycles, from_params=None, augment_fn=augment_fn,
             seed_offset=0, swa=self.kdict.get("swa", False))
         self.params_stack = params_stack  # member-axis-sharded on a mesh
-        members = _unstack_tree(params_stack, n_models)
+        host_params, host_bs = jax.device_get((params_stack, bs_stack))
+        members = [jax.tree.map(lambda x: x[i], host_params)
+                   for i in range(n_models)]
         self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
-        if bs_stack is not None:
-            self.batch_stats = jax.tree.map(lambda x: x[-1], bs_stack)
+        if host_bs is not None:
+            self.batch_stats = jax.tree.map(lambda x: x[-1], host_bs)
         self.params = members[-1]
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
@@ -349,13 +362,14 @@ class BaseEnsembleTrainer(BaseTrainer):
             from_params=baseline_params, augment_fn=augment_fn,
             seed_offset=2, swa=self.kdict.get("swa", False))
         self.params_stack = params_stack  # member-axis-sharded on a mesh
-        members = _unstack_tree(params_stack, n_models)
+        host_params, host_bs = jax.device_get((params_stack, bs_stack))
+        members = [jax.tree.map(lambda x: x[i], host_params)
+                   for i in range(n_models)]
         self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
         # final model carries the ensemble-averaged weights
-        self.params = jax.tree.map(lambda x: jnp.mean(x, axis=0),
-                                   params_stack)
-        if bs_stack is not None:
-            self.batch_stats = jax.tree.map(lambda x: x[-1], bs_stack)
+        self.params = jax.tree.map(lambda x: x.mean(axis=0), host_params)
+        if host_bs is not None:
+            self.batch_stats = jax.tree.map(lambda x: x[-1], host_bs)
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
 

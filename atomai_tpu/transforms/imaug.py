@@ -72,20 +72,18 @@ def _apply_zoom(key, img, gt, zoom_values: np.ndarray):
     zi = jax.random.randint(key, (), 0, len(zoom_values))
     zv = jnp.asarray(zoom_values)[zi]
 
-    # Static-shape approach: compute the crop as a mask-resize. We resize
-    # each candidate zoom to the output and select — but that would compile
-    # len(zoom_values) branches. Instead use a scale-and-sample warp:
-    # output pixel (i, j) samples input at center + (i - S/2) * zv / S.
-    from .warp import bilinear_sample
+    # Static-shape approach: a scale-and-sample warp — output pixel (i, j)
+    # samples input at center + (i - S/2) * zv / S. The warp is
+    # axis-aligned, so it runs as two interpolation-matrix matmuls on the
+    # MXU instead of a pointwise 2D gather (~30x faster at 512^2).
+    from .warp import separable_sample, separable_sample_nhwc
     S = shortdim
     scale = zv.astype(jnp.float32) / S
-    ii, jj = jnp.meshgrid(jnp.arange(S, dtype=jnp.float32),
-                          jnp.arange(S, dtype=jnp.float32), indexing="ij")
-    ys = (h // 2 - zv // 2).astype(jnp.float32) + ii * scale
-    xs = (w // 2 - zv // 2).astype(jnp.float32) + jj * scale
-    img_z = jnp.clip(bilinear_sample(img, ys, xs), 0, 1)
-    gt_z = jnp.stack([jnp.around(bilinear_sample(gt[..., c], ys, xs))
-                      for c in range(gt.shape[-1])], axis=-1)
+    rr = jnp.arange(S, dtype=jnp.float32)
+    ys = (h // 2 - zv // 2).astype(jnp.float32) + rr * scale
+    xs = (w // 2 - zv // 2).astype(jnp.float32) + rr * scale
+    img_z = jnp.clip(separable_sample(img, ys, xs), 0, 1)
+    gt_z = jnp.around(separable_sample_nhwc(gt, ys, xs))
     return img_z, gt_z
 
 
@@ -93,18 +91,15 @@ def _apply_imresize(key, img, gt, factors: np.ndarray):
     """Scale jitter replacing the reference's batch resize
     (`imaug.py:277-305`): resample by a random factor via warp, keep
     original canvas."""
-    from .warp import bilinear_sample
+    from .warp import separable_sample, separable_sample_nhwc
     h, w = img.shape
     fi = jax.random.randint(key, (), 0, len(factors))
     f = jnp.asarray(factors, jnp.float32)[fi]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    ys = (ii - cy) / f + cy
-    xs = (jj - cx) / f + cx
-    img_r = bilinear_sample(img, ys, xs)
-    gt_r = jnp.stack([jnp.around(bilinear_sample(gt[..., c], ys, xs))
-                      for c in range(gt.shape[-1])], axis=-1)
+    ys = (jnp.arange(h, dtype=jnp.float32) - cy) / f + cy
+    xs = (jnp.arange(w, dtype=jnp.float32) - cx) / f + cx
+    img_r = separable_sample(img, ys, xs)
+    gt_r = jnp.around(separable_sample_nhwc(gt, ys, xs))
     return img_r, gt_r
 
 

@@ -29,6 +29,47 @@ def bilinear_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
             wy * (1 - wx) * v10 + wy * wx * v11)
 
 
+def interp_matrix(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Bilinear-interpolation matrix A (S, n): ``A @ v`` samples a length-n
+    signal at float ``coords`` with zero padding outside [0, n-1].
+
+    Turns axis-aligned warps into MXU matmuls — a 2D gather warp on TPU
+    lowers to pointwise gathers (~100x slower than the two dense matmuls
+    ``Ay @ img @ Ax.T`` at 512^2)."""
+    i0 = jnp.floor(coords).astype(jnp.int32)
+    w = (coords - i0)[:, None]
+    cols = jnp.arange(n)[None, :]
+    in0 = ((i0 >= 0) & (i0 <= n - 1))[:, None]
+    in1 = ((i0 + 1 >= 0) & (i0 + 1 <= n - 1))[:, None]
+    m0 = (cols == jnp.clip(i0, 0, n - 1)[:, None]) & in0
+    m1 = (cols == jnp.clip(i0 + 1, 0, n - 1)[:, None]) & in1
+    return m0 * (1.0 - w) + m1 * w
+
+
+def separable_sample(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Bilinear-samples img (H, W) on the grid ``ys x xs`` (axis-aligned
+    warp; ys (S,), xs (T,)) via interpolation-matrix matmuls."""
+    H, W = img.shape
+    Ay = interp_matrix(ys, H)
+    Ax = interp_matrix(xs, W)
+    return Ay @ img @ Ax.T
+
+
+def separable_sample_nhwc(stack: jnp.ndarray, ys: jnp.ndarray,
+                          xs: jnp.ndarray) -> jnp.ndarray:
+    """Same axis-aligned warp for a channel-last stack (H, W, C).
+
+    Runs at HIGHEST matmul precision: this path resamples label masks that
+    get rounded back to integers, where bf16 MXU error (~5e-3) could flip
+    pixels near the 0.5 decision boundary."""
+    H, W = stack.shape[0], stack.shape[1]
+    Ay = interp_matrix(ys, H)
+    Ax = interp_matrix(xs, W)
+    return jnp.einsum("sh,hwc,tw->stc", Ay, stack, Ax,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def rotate_image(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Rotates a 2D image by ``angle`` (radians) about its center."""
     H, W = img.shape
