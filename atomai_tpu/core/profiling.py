@@ -58,8 +58,20 @@ def device_memory_stats() -> Dict[str, Dict[str, Any]]:
 
 
 def block_until_ready(tree: Any) -> Any:
-    """Blocks until all arrays in a pytree are computed."""
-    return jax.block_until_ready(tree)
+    """Blocks until all arrays in a pytree are computed.
+
+    On remote-dispatch TPU backends (e.g. a tunneled single chip)
+    ``jax.block_until_ready`` can return before the device work finishes —
+    only a value fetch truly synchronizes. For honest wall-clock timing,
+    fetch one element per leaf after the plain block."""
+    tree = jax.block_until_ready(tree)
+    try:
+        jax.device_get(jax.tree.map(
+            lambda l: l.ravel()[:1] if hasattr(l, "ravel") and getattr(
+                l, "size", 0) else l, tree))
+    except Exception:
+        pass  # exotic leaf types: the plain block above still applied
+    return tree
 
 
 def jaxpr_matmul_flops(fn, *args, **kwargs) -> float:

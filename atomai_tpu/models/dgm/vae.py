@@ -117,12 +117,13 @@ class BaseVAE(viBaseTrainer):
         x_new = jnp.asarray(x_new)
         num_batches = kwargs.get("num_batches", 10)
         batch_size = max(len(x_new) // num_batches, 1)
-        z_encoded = []
-        for i in range(0, len(x_new), batch_size):
-            out = self._encode_apply(x_new[i:i + batch_size])
-            z_encoded.append(np.concatenate(
-                [np.asarray(o) for o in out], axis=-1))
-        return np.concatenate(z_encoded)
+        # dispatch all chunks, then one overlapped device->host fetch
+        # (fetching per chunk would serialize on tunnel latency)
+        futures = [self._encode_apply(x_new[i:i + batch_size])
+                   for i in range(0, len(x_new), batch_size)]
+        return np.concatenate([
+            np.concatenate([np.asarray(o) for o in out], axis=-1)
+            for out in jax.device_get(futures)])
 
     def encode(self, x_new, **kwargs):
         """Returns (z_mean, z_logsd[, alphas]) (reference

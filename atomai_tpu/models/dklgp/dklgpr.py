@@ -142,13 +142,12 @@ class dklGPR(dklGPTrainer):
         (reference `dklgpr.py:202-217`)."""
         x_new, _ = self.set_data(x_new)
         batch_size = kwargs.get("batch_size", len(x_new))
-        means, variances = [], []
-        for i in range(0, len(x_new), batch_size):
-            m, v = self._posteriors(x_new[i:i + batch_size])
-            means.append(np.asarray(m))
-            variances.append(np.asarray(v))
-        mean = np.concatenate(means, axis=-1)
-        var = np.concatenate(variances, axis=-1)
+        # dispatch all chunks, then one overlapped device->host fetch
+        futures = [self._posteriors(x_new[i:i + batch_size])
+                   for i in range(0, len(x_new), batch_size)]
+        ms, vs = zip(*jax.device_get(futures))
+        mean = np.concatenate([np.asarray(m) for m in ms], axis=-1)
+        var = np.concatenate([np.asarray(v) for v in vs], axis=-1)
         return mean.squeeze(), var.squeeze()
 
     def _embed(self, x_new):
@@ -163,10 +162,10 @@ class dklGPR(dklGPTrainer):
         (reference `dklgpr.py:219-241`)."""
         x_new, _ = self.set_data(x_new)
         batch_size = kwargs.get("batch_size", len(x_new))
-        out = []
-        for i in range(0, len(x_new), batch_size):
-            out.append(np.asarray(self._embed(x_new[i:i + batch_size])))
-        emb = np.concatenate(out, axis=0)
+        futures = [self._embed(x_new[i:i + batch_size])
+                   for i in range(0, len(x_new), batch_size)]
+        emb = np.concatenate(
+            [np.asarray(o) for o in jax.device_get(futures)], axis=0)
         if not self.correlated_output and not self.ensemble:
             emb = emb.transpose(2, 0, 1)
         return emb

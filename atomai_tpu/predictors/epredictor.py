@@ -78,6 +78,7 @@ class EnsemblePredictor(BasePredictor):
         self.everbose = bool(verbose)
         self.verbose = verbose > 1 if isinstance(verbose, int) else False
         self._jit_ens_forward = None
+        self._jit_ens_stats = None
 
     def _set_output_shape(self, data) -> None:
         """Output-shape inference (reference `epredictor.py:81-102`),
@@ -173,21 +174,37 @@ class EnsemblePredictor(BasePredictor):
         batch_size = len(data) // num_batches
         if batch_size < 1:
             num_batches = batch_size = 1
-        prediction_mean = np.zeros(self.output_shape, np.float32)
-        prediction_var = np.zeros(self.output_shape, np.float32)
+        if self._jit_ens_forward is None:
+            self._jit_ens_forward = self._make_ens_forward()
+        if self._jit_ens_stats is None:
+            fwd = self._jit_ens_forward
+
+            @jax.jit
+            def stats(params_stack, x):
+                preds = fwd(params_stack, x)
+                return jnp.mean(preds, axis=0), jnp.var(preds, axis=0)
+            self._jit_ens_stats = stats
+        # member mean/var reduce on device; all chunks dispatch before one
+        # overlapped fetch (per-chunk host fetches would serialize on
+        # device->host latency and move n_models x the data)
+        futures = []
         for i in range(num_batches):
             if self.everbose:
                 print("\rBatch {}/{}".format(i + 1, num_batches), end="")
             data_i = data[i * batch_size:(i + 1) * batch_size]
-            m, v = self.ensemble_forward_(data_i)
-            prediction_mean[i * batch_size:(i + 1) * batch_size] = m
-            prediction_var[i * batch_size:(i + 1) * batch_size] = v
+            futures.append(self._jit_ens_stats(self.params_stack,
+                                               jnp.asarray(data_i)))
         data_i = data[num_batches * batch_size:]
         if len(data_i) > 0:
-            m, v = self.ensemble_forward_(data_i)
-            prediction_mean[num_batches * batch_size:] = m
-            prediction_var[num_batches * batch_size:] = v
-        return prediction_mean, prediction_var
+            futures.append(self._jit_ens_stats(self.params_stack,
+                                               jnp.asarray(data_i)))
+        ms, vs = zip(*jax.device_get(futures))
+
+        def _fix(p):
+            p = np.concatenate([np.asarray(x) for x in p])
+            return p[..., None] if p.ndim == 3 else p
+        return (_fix(ms).reshape(self.output_shape),
+                _fix(vs).reshape(self.output_shape))
 
     def predict(self, data, num_batches: int = 10,
                 format_out: str = "channel_last", norm: bool = True

@@ -120,18 +120,21 @@ class BasePredictor:
         batch_size = len(data) // num_batches
         if batch_size < 1:
             num_batches = batch_size = 1
-        prediction_all = np.zeros(out_shape, dtype=np.float32)
+        # dispatch every chunk asynchronously, then fetch them in one
+        # overlapped device->host transfer — fetching inside the loop
+        # would serialize compute and pay tunnel latency per chunk
+        futures = []
         for i in range(num_batches):
             if self.verbose:
                 print("\rBatch {}/{}".format(i + 1, num_batches), end="")
             data_i = data[i * batch_size:(i + 1) * batch_size]
-            prediction_all[i * batch_size:(i + 1) * batch_size] = \
-                np.asarray(self.forward_(data_i))
+            futures.append(self.forward_(data_i))
         data_i = data[num_batches * batch_size:]
         if len(data_i) > 0:
-            prediction_all[num_batches * batch_size:] = \
-                np.asarray(self.forward_(data_i))
-        return prediction_all
+            futures.append(self.forward_(data_i))
+        return np.concatenate(
+            [np.asarray(f) for f in jax.device_get(futures)]
+        ).reshape(out_shape)
 
     def predict(self, data, out_shape=None, num_batches: int = 1
                 ) -> np.ndarray:

@@ -167,7 +167,9 @@ def main():
     for _ in range(CYC_E // 5):
         params_g, gp.opt_state, losses_g = gp._fit_chunk(
             params_g, gp.opt_state, jnp.arange(5))
-    jax.block_until_ready(losses_g)
+    # force a value fetch: through the remote-TPU tunnel
+    # block_until_ready is a no-op, only fetches truly synchronize
+    np.asarray(losses_g)
     t_gp_cycle = (time.time() - t0) / CYC_E
 
     train_imgs_eq = CYCLES * BATCH * EQ
@@ -205,9 +207,10 @@ def main():
             "ensemble_aug_512_vs_baseline": round(ens_vs, 1),
             "ensemble_aug_512_note": (
                 f"{NMOD_D} members x {CYC_D} cycles x batch {BATCH_D}, "
-                "simultaneous vmapped training incl. one-time compile; "
-                "reference = sequential members at "
-                f"{REF_SEG512_AUG_SEC_PER_CYCLE} s/cycle/member (measured)"),
+                "simultaneous vmapped training, steady state (compile "
+                "paid by the preceding warm call); reference = sequential "
+                f"members at {REF_SEG512_AUG_SEC_PER_CYCLE} s/cycle/member "
+                "(measured)"),
             "dklgpr_10k_sec_per_cycle": round(t_gp_cycle, 3),
             "dklgpr_10k_note": (
                 "exact 10k Cholesky + MLL grad, steady state; reference "

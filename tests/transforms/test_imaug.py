@@ -81,3 +81,50 @@ def test_squeeze_unsqueeze_roundtrip():
     assert onehot.shape == (2, 16, 16, 4)
     back = squeeze_channels(onehot)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(labels))
+
+
+class TestSeparableWarp:
+    """The zoom/scale-jitter warps run as interpolation-matrix matmuls;
+    pin equivalence to direct 2D bilinear gather sampling."""
+
+    def test_matches_gather_bilinear(self):
+        from atomai_tpu.transforms.warp import (bilinear_sample,
+                                                separable_sample)
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.rand(37, 41), jnp.float32)
+        ys = jnp.asarray(np.sort(rng.uniform(-2, 38, 23)), jnp.float32)
+        xs = jnp.asarray(np.sort(rng.uniform(-2, 42, 29)), jnp.float32)
+        YS, XS = jnp.meshgrid(ys, xs, indexing="ij")
+        ref = bilinear_sample(img, YS, XS)
+        new = separable_sample(img, ys, xs)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                   atol=1e-5)
+
+    def test_nhwc_channels_consistent(self):
+        from atomai_tpu.transforms.warp import (separable_sample,
+                                                separable_sample_nhwc)
+        rng = np.random.RandomState(4)
+        stack = jnp.asarray(rng.rand(16, 18, 3), jnp.float32)
+        ys = jnp.asarray(np.linspace(0, 15, 11), jnp.float32)
+        xs = jnp.asarray(np.linspace(0, 17, 13), jnp.float32)
+        out = separable_sample_nhwc(stack, ys, xs)
+        assert out.shape == (11, 13, 3)
+        for c in range(3):
+            np.testing.assert_allclose(
+                np.asarray(out[..., c]),
+                np.asarray(separable_sample(stack[..., c], ys, xs)),
+                atol=1e-5)
+
+    def test_interp_matrix_zero_outside(self):
+        from atomai_tpu.transforms.warp import interp_matrix
+        coords = jnp.asarray([-1.5, -1.0, 0.0, 3.5, 6.0, 6.5], jnp.float32)
+        A = np.asarray(interp_matrix(coords, 7))
+        # fully out-of-range rows are all-zero (zero padding)
+        assert A[0].sum() == 0.0
+        # boundary rows interpolate with partial weight
+        np.testing.assert_allclose(A[1].sum(), 0.0, atol=1e-6)
+        np.testing.assert_allclose(A[2].sum(), 1.0, atol=1e-6)
+        np.testing.assert_allclose(A[3].sum(), 1.0, atol=1e-6)
+        np.testing.assert_allclose(A[4].sum(), 1.0, atol=1e-6)
+        # coord 6.5: i0=6 in range (weight .5), i0+1=7 out -> half weight
+        np.testing.assert_allclose(A[5].sum(), 0.5, atol=1e-6)
