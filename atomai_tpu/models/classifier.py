@@ -13,10 +13,9 @@ from ..transforms import reg_augmentor
 class Classifier(clsTrainer):
     """Model for image classification.
 
-    Capability note (vs reference): backbone names select from-scratch
-    ConvBackbone presets, not ImageNet-pretrained torchvision models —
-    see the :class:`~atomai_tpu.models.Regressor` docstring for the
-    rationale and the synthetic-pretraining alternative.
+    Backbone names select the faithful torchvision topologies (see
+    :class:`~atomai_tpu.models.Regressor`); ``'*-slim'`` presets remain
+    for fast from-scratch training.
 
     Example:
         >>> model = aoi.models.Classifier(nb_classes=3, backbone="resnet")
@@ -24,9 +23,20 @@ class Classifier(clsTrainer):
         >>> predicted_classes = model.predict(imgs_new)
     """
 
-    def __init__(self, nb_classes: int = 2, backbone: str = "mobilenet",
-                 **kwargs) -> None:
-        super().__init__(nb_classes, backbone, **kwargs)
+    def __init__(self, model: str = "mobilenet",
+                 nb_classes: int = None, **kwargs) -> None:
+        # reference argument order (`classifier.py:20-26`); legacy
+        # (nb_classes, backbone) calls and the backbone= kwarg still work
+        if isinstance(model, int):
+            backbone = nb_classes if isinstance(nb_classes, str) \
+                else kwargs.pop("backbone", "mobilenet")
+            model, nb_classes = backbone, model
+        model = kwargs.pop("backbone", model)
+        if nb_classes is None:
+            raise AssertionError(
+                "You must specify a number of classes (nb_classes) for "
+                "your classification model")
+        super().__init__(nb_classes, model, **kwargs)
 
     def fit(self, X_train, y_train, X_test=None, y_test=None,
             loss: str = "nll", optimizer=None, training_cycles: int = 1000,

@@ -539,16 +539,179 @@ def _load_denoiser_checkpoint(loaded: Dict[str, Any]):
     return model
 
 
+# ------------------------------------------------------------------
+# torchvision backbone conversion (reg/cls models)
+# ------------------------------------------------------------------
+
+def _resnet50_specs() -> List[Tuple[str, Tuple[str, ...], str]]:
+    """(torch Sequential key, flax path, kind) for the reference's
+    ResNet50 ``backbone_layers`` (torchvision resnet50 children[:-2]
+    re-wrapped in nn.Sequential: 0=conv1 1=bn1 2=relu 3=maxpool
+    4..7=layer1..4; `atomai/nets/blocks.py:344-356`)."""
+    specs = [("0", ("conv1",), "conv"), ("1", ("bn1",), "bn")]
+    for li, nblocks in [(1, 3), (2, 4), (3, 6), (4, 3)]:
+        for b in range(nblocks):
+            base = f"{3 + li}.{b}"
+            blk = f"layer{li}_{b}"
+            specs += [(f"{base}.conv1", (blk, "conv1"), "conv"),
+                      (f"{base}.bn1", (blk, "bn1"), "bn"),
+                      (f"{base}.conv2", (blk, "conv2"), "conv"),
+                      (f"{base}.bn2", (blk, "bn2"), "bn"),
+                      (f"{base}.conv3", (blk, "conv3"), "conv"),
+                      (f"{base}.bn3", (blk, "bn3"), "bn")]
+            if b == 0:
+                specs += [(f"{base}.downsample.0",
+                           (blk, "downsample_conv"), "conv"),
+                          (f"{base}.downsample.1",
+                           (blk, "downsample_bn"), "bn")]
+    return specs
+
+
+def _vgg16_specs() -> List[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision vgg16.features children[:-1]
+    (`atomai/nets/blocks.py:358-370`); conv Sequential indices."""
+    return [(str(i), (f"conv{i}",), "conv")
+            for i in (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)]
+
+
+def _mobilenet_v2_specs() -> List[Tuple[str, Tuple[str, ...], str]]:
+    """torchvision mobilenet_v2.features (`blocks.py:372-385`):
+    0=ConvBNReLU stem, 1..17=InvertedResidual, 18=ConvBNReLU head."""
+    specs = [("0.0", ("stem_conv",), "conv"), ("0.1", ("stem_bn",), "bn")]
+    bi = 1
+    for t, _, n in [(1, 16, 1), (6, 24, 2), (6, 32, 3), (6, 64, 4),
+                    (6, 96, 3), (6, 160, 3), (6, 320, 1)]:
+        for _ in range(n):
+            blk = f"block{bi}"
+            if t == 1:  # no pointwise expansion in the first block
+                specs += [(f"{bi}.conv.0.0", (blk, "dw"), "conv"),
+                          (f"{bi}.conv.0.1", (blk, "dw_bn"), "bn"),
+                          (f"{bi}.conv.1", (blk, "project"), "conv"),
+                          (f"{bi}.conv.2", (blk, "project_bn"), "bn")]
+            else:
+                specs += [(f"{bi}.conv.0.0", (blk, "pw"), "conv"),
+                          (f"{bi}.conv.0.1", (blk, "pw_bn"), "bn"),
+                          (f"{bi}.conv.1.0", (blk, "dw"), "conv"),
+                          (f"{bi}.conv.1.1", (blk, "dw_bn"), "bn"),
+                          (f"{bi}.conv.2", (blk, "project"), "conv"),
+                          (f"{bi}.conv.3", (blk, "project_bn"), "bn")]
+            bi += 1
+    specs += [("18.0", ("head_conv",), "conv"),
+              ("18.1", ("head_bn",), "bn")]
+    return specs
+
+
+_BACKBONE_SPECS = {"resnet": _resnet50_specs, "vgg": _vgg16_specs,
+                   "mobilenet": _mobilenet_v2_specs}
+
+
+def convert_backbone_state_dict(state_dict: Dict[str, Any],
+                                backbone_type: str,
+                                prefix: str = "backbone.backbone_layers"
+                                ) -> Tuple[Dict, Dict]:
+    """Converts a torchvision-format backbone state_dict (as stored by the
+    reference's ``CustomBackbone``, `atomai/nets/blocks.py:332-399`) into
+    (params, batch_stats) for the matching
+    `atomai_tpu.nets.backbones` features module. Also usable for raw
+    torchvision checkpoints (e.g. ImageNet weights) with the appropriate
+    ``prefix`` ('' for bare ``resnet50().state_dict()`` is NOT supported —
+    wrap children the way the reference does, or remap keys first)."""
+    if backbone_type not in _BACKBONE_SPECS:
+        raise ValueError(f"Unknown backbone_type '{backbone_type}'")
+
+    def set_path(tree, path, val):
+        for p in path[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[path[-1]] = val
+
+    params: Dict[str, Any] = {}
+    bstats: Dict[str, Any] = {}
+    for tk, path, kind in _BACKBONE_SPECS[backbone_type]():
+        full = f"{prefix}.{tk}" if prefix else tk
+        if kind == "conv":
+            w = _to_np(state_dict[full + ".weight"])
+            b = state_dict.get(full + ".bias")
+            set_path(params, path,
+                     _conv_to_flax(w, _to_np(b) if b is not None else None))
+        else:
+            set_path(params, path,
+                     {"scale": _to_np(state_dict[full + ".weight"]),
+                      "bias": _to_np(state_dict[full + ".bias"])})
+            set_path(bstats, path,
+                     {"mean": _to_np(state_dict[full + ".running_mean"]),
+                      "var": _to_np(state_dict[full + ".running_var"])})
+    return params, bstats
+
+
+def convert_reg_cls_state_dict(state_dict: Dict[str, Any], model_type: str,
+                               backbone_type: str, input_channels: int,
+                               output_size) -> Tuple[Any, Dict, Dict]:
+    """Converts a reference Regressor/Classifier/MultiTaskClassifier
+    state_dict (`atomai/nets/reg_cls.py:16-125`) into
+    (net, params, batch_stats)."""
+    from ..nets.reg_cls import (ClassifierNet, MultiTaskClassifierNet,
+                                RegressorNet)
+
+    bb_params, bb_bstats = convert_backbone_state_dict(
+        state_dict, backbone_type)
+    params: Dict[str, Any] = {
+        "ConvBackbone_0": {"features": bb_params}}
+    bstats: Dict[str, Any] = (
+        {"ConvBackbone_0": {"features": bb_bstats}} if bb_bstats else {})
+
+    def dense(prefix):
+        return {"kernel": _to_np(state_dict[prefix + ".weight"]).T,
+                "bias": _to_np(state_dict[prefix + ".bias"])}
+
+    if model_type == "reg":
+        params["Dense_0"] = dense("output_layer")
+        net = RegressorNet(input_channels, int(output_size), backbone_type)
+    elif model_type == "cls":
+        params["Dense_0"] = dense("output_layer.0")
+        net = ClassifierNet(input_channels, int(output_size), backbone_type)
+    elif model_type == "multitask_cls":
+        for t in range(len(output_size)):
+            params[f"Dense_{t}"] = dense(f"output_layers.{t}.0")
+        net = MultiTaskClassifierNet(input_channels, tuple(output_size),
+                                     backbone_type)
+    else:
+        raise ValueError(f"Unknown model_type '{model_type}'")
+    return net, params, bstats
+
+
+def _load_reg_cls_checkpoint(loaded: Dict[str, Any]):
+    model_type = loaded["model_type"]
+    backbone = loaded.get("backbone", "mobilenet")
+    in_channels = loaded.get("in_channels", 1)
+    out = loaded.get("out_dim") if model_type == "reg" \
+        else loaded.get("nb_classes")
+    sd = loaded["weights"]
+    if hasattr(sd, "items"):
+        sd = dict(sd.items())
+    _, params, bstats = convert_reg_cls_state_dict(
+        sd, model_type, backbone, in_channels, out)
+
+    if model_type == "reg":
+        from .regressor import Regressor
+        model = Regressor(backbone, int(out), input_channels=in_channels)
+    else:
+        from .classifier import Classifier
+        model = Classifier(backbone, int(out), input_channels=in_channels)
+    model.params = params
+    model.batch_stats = bstats if bstats else None
+    return model
+
+
 def load_torch_checkpoint(filepath: str):
     """Loads a reference .tar checkpoint and returns an equivalent
     atomai_tpu model.
 
     Supported ``model_type``: 'seg', 'imspec', 'vae' (incl. rVAE/jVAE/
-    jrVAE via the stored ``coord``/``discrete_dim``), and
-    'denoising_autoencoder' — the full `load_model` dispatch surface of
-    the reference (`loaders.py:25-64`) except 'reg'/'cls', whose
-    reference nets are torchvision ImageNet backbones with no structural
-    counterpart here (see `Regressor` docs).
+    jrVAE via the stored ``coord``/``discrete_dim``), 'reg'/'cls'
+    (torchvision ResNet50/VGG16/MobileNetV2 backbones via
+    `convert_backbone_state_dict`), and 'denoising_autoencoder' — the
+    full `load_model` dispatch surface of the reference
+    (`loaders.py:25-64`).
     """
     import torch
 
@@ -564,15 +727,10 @@ def load_torch_checkpoint(filepath: str):
     if model_type == "denoising_autoencoder":
         return _load_denoiser_checkpoint(loaded)
     if model_type in ("reg", "cls"):
-        raise NotImplementedError(
-            "Reference 'reg'/'cls' checkpoints wrap torchvision ImageNet "
-            "backbones (reference `nets/blocks.py:332-399`); atomai_tpu "
-            "uses its own ConvBackbone, so those weights have no "
-            "structural mapping. Re-train with "
-            "atomai_tpu.models.Regressor/Classifier.")
+        return _load_reg_cls_checkpoint(loaded)
     raise NotImplementedError(
         f"Torch checkpoint conversion for model_type={model_type} is not "
-        "implemented (supported: 'seg', 'imspec', 'vae', "
+        "implemented (supported: 'seg', 'imspec', 'vae', 'reg', 'cls', "
         "'denoising_autoencoder')")
 
 

@@ -39,13 +39,13 @@ def load_model(filepath: str):
                        meta.get("latent_dim", 2), **kwargs)
     elif model_type == "reg":
         from .regressor import Regressor
-        model = Regressor(meta.get("out_dim", 1),
-                          meta.get("backbone", "mobilenet"),
+        model = Regressor(meta.get("backbone", "mobilenet"),
+                          meta.get("out_dim", 1),
                           input_channels=meta.get("in_channels", 1))
     elif model_type == "cls":
         from .classifier import Classifier
-        model = Classifier(meta.get("nb_classes", 1),
-                           meta.get("backbone", "mobilenet"),
+        model = Classifier(meta.get("backbone", "mobilenet"),
+                           meta.get("nb_classes", 1),
                            input_channels=meta.get("in_channels", 1))
     elif model_type == "vae":
         from . import dgm

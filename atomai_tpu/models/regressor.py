@@ -14,18 +14,15 @@ from ..transforms import reg_augmentor
 class Regressor(RegTrainer):
     """Model for image-based regression analysis.
 
-    Capability note (vs reference): the reference's mobilenet/resnet/vgg
-    backbones are torchvision models shipping ImageNet weights
-    (`atomai/nets/blocks.py:332-399`), giving it transfer learning out of
-    the box. Here the same backbone names select size-matched ConvBackbone
-    presets that train **from scratch** — ImageNet weights are not
-    distributable with this package, and their NCHW torchvision
-    architectures (depthwise blocks, downsample shortcuts) have no
-    structural mapping onto the NHWC/flax backbone. For label-scarce
-    problems, pre-train the backbone on synthetic data
-    (``aoi.utils.make_lattice_stack``/``imgen``) and keep training it;
-    weights saved by one Regressor/Classifier load into another via
-    ``load_weights``.
+    Backbone names select the faithful torchvision topologies
+    (ResNet50 / VGG16 features / MobileNetV2 features,
+    `atomai_tpu/nets/backbones.py`) exactly as the reference's
+    ``CustomBackbone`` does (`atomai/nets/blocks.py:332-399`; note it
+    passes ``weights=None`` — no ImageNet weights are involved).
+    Users holding torchvision-format weights can transfer them via
+    ``atomai_tpu.models.conversion.convert_backbone_state_dict``; the
+    lighter ``'mobilenet-slim'``/``'resnet-slim'``/``'vgg-slim'``
+    presets remain for fast from-scratch training.
 
     Example:
         >>> model = aoi.models.Regressor(out_dim=1, backbone="mobilenet")
@@ -33,9 +30,16 @@ class Regressor(RegTrainer):
         >>> prediction = model.predict(imgs_new)
     """
 
-    def __init__(self, out_dim: int = 1, backbone: str = "mobilenet",
+    def __init__(self, model: str = "mobilenet", out_dim: int = 1,
                  **kwargs) -> None:
-        super().__init__(out_dim, backbone, **kwargs)
+        # reference argument order (`regressor.py:28-32`); legacy
+        # (out_dim, backbone) calls and the backbone= kwarg still work
+        if isinstance(model, int):
+            backbone = out_dim if isinstance(out_dim, str) \
+                else kwargs.pop("backbone", "mobilenet")
+            model, out_dim = backbone, model
+        model = kwargs.pop("backbone", model)
+        super().__init__(out_dim, model, **kwargs)
 
     def fit(self, X_train, y_train, X_test=None, y_test=None,
             loss: str = "mse", optimizer=None, training_cycles: int = 1000,

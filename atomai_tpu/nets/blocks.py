@@ -199,33 +199,44 @@ class DilatedBlock(nn.Module):
 
 
 class ConvBackbone(nn.Module):
-    """Own strided-conv backbone replacing the torchvision backbones of
-    `atomai/nets/blocks.py:332-399` (mobilenet/resnet/vgg).
+    """Backbone + global average pool -> (batch, in_features), the
+    contract of the reference's ``CustomBackbone`` + AdaptiveAvgPool2d
+    (`atomai/nets/blocks.py:332-399`).
 
-    Emits a feature map reduced by global average pooling to
-    (batch, in_features) — the same contract the reference's
-    ``CustomBackbone`` + AdaptiveAvgPool2d provides. Three presets trade
-    depth/width like the reference's backbone choices.
+    ``resnet`` / ``vgg`` / ``mobilenet`` use the faithful torchvision
+    topologies (ResNet50 / VGG16 features / MobileNetV2 features — the
+    reference instantiates them with ``weights=None``, so topology IS the
+    capability; see `atomai_tpu/nets/backbones.py`). The ``*-slim``
+    variants keep the lighter strided-conv stacks for compute-constrained
+    training from scratch.
     """
     backbone_type: str = "mobilenet"
 
-    # width multipliers per preset ("mobilenet" smallest, "resnet" largest)
+    # width multipliers per slim preset
     _PRESETS = {
-        "mobilenet": (32, (64, 128, 256, 1280)),
-        "resnet": (64, (256, 512, 1024, 2048)),
-        "vgg": (64, (128, 256, 512, 512)),
+        "mobilenet-slim": (32, (64, 128, 256, 1280)),
+        "resnet-slim": (64, (256, 512, 1024, 2048)),
+        "vgg-slim": (64, (128, 256, 512, 512)),
     }
 
     @property
     def in_features(self) -> int:
+        from .backbones import BACKBONE_FEATURES
+        if self.backbone_type in BACKBONE_FEATURES:
+            return BACKBONE_FEATURES[self.backbone_type].in_features
         return self._PRESETS[self.backbone_type][1][-1]
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from .backbones import BACKBONE_FEATURES
+        if self.backbone_type in BACKBONE_FEATURES:
+            feats = BACKBONE_FEATURES[self.backbone_type](
+                name="features")(x, train)
+            return jnp.mean(feats, axis=(1, 2))
         if self.backbone_type not in self._PRESETS:
             raise ValueError(
-                "Unsupported backbone_type. Choose 'resnet', 'vgg' or "
-                "'mobilenet'.")
+                "Unsupported backbone_type. Choose 'resnet', 'vgg', "
+                "'mobilenet' or a '*-slim' variant.")
         stem, widths = self._PRESETS[self.backbone_type]
         x = nn.Conv(stem, (3, 3), strides=(2, 2), padding=1, dtype=_cdtype())(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

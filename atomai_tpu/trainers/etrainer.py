@@ -177,7 +177,7 @@ class BaseEnsembleTrainer(BaseTrainer):
                 criterion)
             cache[engine_key] = (run_all, jit_vstep)
 
-        if jax.default_backend() == "cpu":
+        if self._cpu_loop_engine():
             # XLA:CPU runs scan bodies single-threaded; python-loop the
             # jitted vmapped step instead
             swa_sum = jax.tree.map(jnp.zeros_like, params_stack)

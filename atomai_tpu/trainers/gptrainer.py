@@ -310,7 +310,9 @@ class GPTrainer:
             return params, opt_state, loss
 
         # XLA:CPU runs ops inside scan single-threaded (incl. the Cholesky)
-        if jax.default_backend() == "cpu":
+        eng = getattr(self, "engine", "auto")
+        if eng == "loop" or (eng != "scan"
+                             and jax.default_backend() == "cpu"):
             jit_step = jax.jit(step)
 
             def chunk(params, opt_state, n_steps_arr):

@@ -84,6 +84,16 @@ class BaseTrainer:
         self._compiled_chunk = None
         self.mesh = None
         self._final_eval_printed = False
+        # "auto": python-loop jitted steps on XLA:CPU (scan bodies run
+        # single-threaded there), scan-over-cycles on accelerators.
+        # "scan"/"loop" force an engine (tests exercise scan on CPU).
+        self.engine = "auto"
+
+    def _cpu_loop_engine(self) -> bool:
+        eng = getattr(self, "engine", "auto")
+        if eng in ("scan", "loop"):
+            return eng == "loop"
+        return jax.default_backend() == "cpu"
 
     # -------------------------------------------------------------- rng
     def _reset_rng(self, seed: int) -> None:
@@ -419,7 +429,7 @@ class BaseTrainer:
         # slowdown for conv workloads); on CPU backends we therefore jit
         # the per-batch steps and drive all loops from Python. On TPU the
         # scan-over-cycles form runs the whole chunk in one dispatch.
-        if jax.default_backend() == "cpu":
+        if self._cpu_loop_engine():
             jit_train = jax.jit(train_one_batch)
             jit_eval = jax.jit(eval_one_batch)
             jit_swa = jax.jit(lambda s, p: s.update(p))
@@ -497,7 +507,7 @@ class BaseTrainer:
         swa_state = SwaState.init(self.params)
         carry = (self.params, self.batch_stats, self.opt_state, swa_state)
         all_keys = jax.random.split(self.keys.next(), cycles)
-        cpu_loop = jax.default_backend() == "cpu"
+        cpu_loop = self._cpu_loop_engine()
         e0 = 0
         while e0 < cycles:
             e1 = min(e0 + chunk, cycles)
@@ -554,7 +564,7 @@ class BaseTrainer:
         — XLA's own ``cost_analysis`` reports ~0 FLOPs for the TPU conv
         custom calls and underestimates by orders of magnitude. Returns
         None on the CPU python-loop engine."""
-        if jax.default_backend() == "cpu":
+        if self._cpu_loop_engine():
             return None
         self._maybe_init_model()
         if self._compiled_chunk is None:
@@ -808,7 +818,7 @@ class RegTrainer(BaseTrainer):
         super().__init__(seed=seed)
         self.batch_seed = kwargs.get("batch_seed", seed)
         self.out_dim = out_dim
-        input_channels = kwargs.get("input_channels", 1)
+        input_channels = kwargs.pop("input_channels", 1)
         self.net, self.meta_state_dict = init_reg_model(
             out_dim, backbone, input_channels, **kwargs)
 
@@ -839,7 +849,7 @@ class clsTrainer(BaseTrainer):
         super().__init__(seed=seed)
         self.batch_seed = kwargs.get("batch_seed", seed)
         self.nb_classes = nb_classes
-        input_channels = kwargs.get("input_channels", 1)
+        input_channels = kwargs.pop("input_channels", 1)
         self.net, self.meta_state_dict = init_cls_model(
             nb_classes, backbone, input_channels, **kwargs)
 

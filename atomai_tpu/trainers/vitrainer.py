@@ -26,6 +26,15 @@ from ..core.prng import KeySeq
 class viBaseTrainer:
     """Base trainer for VAE and VED models."""
 
+    def _cpu_loop_engine(self) -> bool:
+        """Same engine policy as BaseTrainer._cpu_loop_engine: python-loop
+        jitted steps on XLA:CPU, scan on accelerators; ``self.engine`` in
+        {"scan", "loop"} forces one (tests exercise scan on CPU)."""
+        eng = getattr(self, "engine", "auto")
+        if eng in ("scan", "loop"):
+            return eng == "loop"
+        return jax.default_backend() == "cpu"
+
     def __init__(self, seed: int = 1):
         self.keys = KeySeq(seed)
         np.random.seed(seed)
@@ -196,7 +205,7 @@ class viBaseTrainer:
         # XLA:CPU runs ops inside scan single-threaded; python-loop a
         # jitted per-batch step there instead (TPU keeps the one-dispatch
         # scan-per-epoch form)
-        cpu_loop = jax.default_backend() == "cpu"
+        cpu_loop = self._cpu_loop_engine()
 
         def batch_step(params, opt_state, x_i, y_i, k_i, num_iter):
             def loss_fn(p):

@@ -122,3 +122,43 @@ def test_nb_classes_mismatch_raises():
     with pytest.raises(AssertionError):
         t.fit(X, y, Xt, yt, training_cycles=2, batch_size=4,
               filename="/tmp/aoi_mm")
+
+
+class TestEngineParity:
+    """The scan-over-cycles engine (accelerator path) and the jitted
+    python-loop engine (XLA:CPU path) must produce identical training
+    trajectories — otherwise only the loop path would be CI-tested while
+    only the scan path is benchmarked."""
+
+    @pytest.mark.parametrize("full_epoch", [False, True])
+    def test_scan_vs_loop_engine(self, full_epoch):
+        X, y, Xt, yt = _data()
+        histories, final = [], []
+        for engine in ("loop", "scan"):
+            t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1],
+                          seed=7)
+            t.engine = engine
+            t.fit(X, y, Xt, yt, training_cycles=6, batch_size=4,
+                  full_epoch=full_epoch, swa=True, print_loss=3,
+                  filename="/tmp/aoi_engpar")
+            histories.append(np.asarray(t.loss_acc["train_loss"]))
+            final.append(t.params)
+        np.testing.assert_allclose(histories[0], histories[1],
+                                   rtol=1e-5, atol=1e-6)
+        assert _params_equal(final[0], final[1])
+
+    def test_ensemble_scan_vs_loop_engine(self):
+        from atomai_tpu.trainers import EnsembleTrainer
+        X, y, Xt, yt = _data()
+        losses = []
+        for engine in ("loop", "scan"):
+            et = EnsembleTrainer("Unet", nb_classes=1)
+            et.engine = engine
+            et.compile_ensemble_trainer(
+                training_cycles=4, batch_size=4, nb_filters=4,
+                layers=[1, 1, 1, 1], filename="/tmp/aoi_engpar_e",
+                swa=True, seed=3)
+            et.train_ensemble_from_scratch(X, y, Xt, yt, n_models=2)
+            losses.append(np.asarray(et.loss_acc["train_loss"]))
+        np.testing.assert_allclose(losses[0], losses[1],
+                                   rtol=1e-5, atol=1e-6)
