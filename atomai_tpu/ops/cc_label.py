@@ -81,11 +81,49 @@ def label_components(mask: jnp.ndarray, max_iters: int = 4096
     return lab
 
 
-@partial(jax.jit, static_argnames=("max_blobs",))
+@jax.jit
+def _blob_moments(lab: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-root pixel counts / first moments via segment_sum. Three 1D
+    scatters: fusing into one (H*W, 3) scatter pads the 3-wide lane
+    dimension to 128 on TPU (42x write inflation, ~8x slower)."""
+    H, W = lab.shape
+    flat_lab = jnp.minimum(lab.reshape(-1), H * W)
+    n_seg = H * W + 1
+    ones = (flat_lab < H * W).astype(jnp.float32)
+    rows = (jnp.arange(H * W, dtype=jnp.float32) // W) * ones
+    cols = (jnp.arange(H * W, dtype=jnp.float32) % W) * ones
+    counts = jax.ops.segment_sum(ones, flat_lab, num_segments=n_seg)
+    row_sum = jax.ops.segment_sum(rows, flat_lab, num_segments=n_seg)
+    col_sum = jax.ops.segment_sum(cols, flat_lab, num_segments=n_seg)
+    return counts, row_sum, col_sum
+
+
+@partial(jax.jit, static_argnames=("max_blobs", "hw"))
+def _blob_extract(counts, row_sum, col_sum, max_blobs: int, hw: int):
+    counts = counts[:-1]
+    root_idx = jnp.nonzero(counts > 0, size=max_blobs, fill_value=hw)[0]
+    valid = root_idx < hw
+    safe_idx = jnp.minimum(root_idx, hw - 1)
+    c = counts[safe_idx]
+    cy = row_sum[:-1][safe_idx] / jnp.maximum(c, 1.0)
+    cx = col_sum[:-1][safe_idx] / jnp.maximum(c, 1.0)
+    coords = jnp.stack([cy, cx], axis=-1)
+    coords = jnp.where(valid[:, None], coords, 0.0)
+    sizes = jnp.where(valid, c.astype(jnp.int32), 0)
+    return coords, sizes, valid
+
+
 def blob_centers(mask: jnp.ndarray, max_blobs: int = 2048
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Centers of mass of connected components (binary weights, matching
     ``ndimage.center_of_mass`` on a thresholded map).
+
+    Runs as three separately-jitted stages (label -> moments -> extract):
+    one monolithic jit schedules ~4x slower at 2048^2 on TPU and costs
+    minutes of XLA compile time per (shape, max_blobs) pair, while the
+    stages compile once each and the extract recompiles only per
+    max_blobs bucket.
 
     Returns:
         coords: (max_blobs, 2) float32 (row, col) centers (0 for padding).
@@ -97,26 +135,8 @@ def blob_centers(mask: jnp.ndarray, max_blobs: int = 2048
     # otherwise (see atomai_tpu/ops/pallas_cc.py)
     from .pallas_cc import label_components_auto
     lab = label_components_auto(mask)
-    flat_lab = lab.reshape(-1)
-    n_seg = H * W + 1
-    flat_lab = jnp.minimum(flat_lab, H * W)
-    ones = (flat_lab < H * W).astype(jnp.float32)
-    rows = (jnp.arange(H * W, dtype=jnp.float32) // W) * ones
-    cols = (jnp.arange(H * W, dtype=jnp.float32) % W) * ones
-    counts = jax.ops.segment_sum(ones, flat_lab, num_segments=n_seg)
-    row_sum = jax.ops.segment_sum(rows, flat_lab, num_segments=n_seg)
-    col_sum = jax.ops.segment_sum(cols, flat_lab, num_segments=n_seg)
-    counts = counts[:-1]
-    root_idx = jnp.nonzero(counts > 0, size=max_blobs, fill_value=H * W)[0]
-    valid = root_idx < H * W
-    safe_idx = jnp.minimum(root_idx, H * W - 1)
-    c = counts[safe_idx]
-    cy = row_sum[:-1][safe_idx] / jnp.maximum(c, 1.0)
-    cx = col_sum[:-1][safe_idx] / jnp.maximum(c, 1.0)
-    coords = jnp.stack([cy, cx], axis=-1)
-    coords = jnp.where(valid[:, None], coords, 0.0)
-    sizes = jnp.where(valid, c.astype(jnp.int32), 0)
-    return coords, sizes, valid
+    counts, row_sum, col_sum = _blob_moments(lab)
+    return _blob_extract(counts, row_sum, col_sum, max_blobs, H * W)
 
 
 def find_com_device(image_data: jnp.ndarray, max_blobs: int = 2048):
@@ -126,5 +146,13 @@ def find_com_device(image_data: jnp.ndarray, max_blobs: int = 2048):
 
 def blob_centers_stack(masks: jnp.ndarray, max_blobs: int = 2048):
     """Batched blob centers: (N, H, W) -> ((N, max_blobs, 2), (N, max_blobs),
-    (N, max_blobs))."""
-    return jax.vmap(lambda m: blob_centers(m, max_blobs))(masks)
+    (N, max_blobs)).
+
+    Frames run through the single-mask jitted program sequentially (all
+    dispatched before stacking): vmapping the while-loop labeler batches
+    its gathers pathologically (4x2048^2: ~5.5 s vmapped vs ~1.5 s looped)
+    and recompiles per frame count, several minutes of XLA time at 2048^2."""
+    outs = [blob_centers(masks[i], max_blobs)
+            for i in range(masks.shape[0])]
+    coords, sizes, valids = zip(*outs)
+    return (jnp.stack(coords), jnp.stack(sizes), jnp.stack(valids))

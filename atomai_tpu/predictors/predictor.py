@@ -146,6 +146,12 @@ class BasePredictor:
         return self.batch_predict(data, out_shape, num_batches)
 
 
+@jax.jit
+def _norm_minmax(x):
+    lo = jnp.min(x)
+    return (x - lo) / jnp.maximum(jnp.max(x) - lo, 1e-12)
+
+
 class SegPredictor(BasePredictor):
     """Segmentation predictor (reference `predictor.py:124-298`)."""
 
@@ -177,7 +183,9 @@ class SegPredictor(BasePredictor):
 
     def preprocess(self, image_data: np.ndarray, norm: bool = True):
         """(N?, H, W) -> padded, normalized NHWC
-        (reference `predictor.py:190-207`)."""
+        (reference `predictor.py:190-207`). Min-max normalization runs on
+        device (one fused pass) instead of several host numpy passes over
+        the full stack."""
         image_data = np.asarray(image_data)
         if image_data.ndim == 2:
             image_data = image_data[None, ...]
@@ -189,7 +197,8 @@ class SegPredictor(BasePredictor):
         if self.resize is not None:
             image_data = img_resize(image_data, self.resize)
         image_data = img_pad(image_data, self.downsampling)
-        return jnp.asarray(format_image(image_data, norm))
+        x = jnp.asarray(format_image(image_data, norm=False))
+        return _norm_minmax(x) if norm else x
 
     def _make_forward(self):
         model = self.model
@@ -219,6 +228,9 @@ class SegPredictor(BasePredictor):
             # on TPU)
             bytes_total = n * w * h * 4 * max(self.nb_classes, 16)
             num_batches = max(1, int(np.ceil(bytes_total / (256 * 2**20))))
+            # never collapse to one giant batch because frames outnumber
+            # the chunk budget (batch_size = n // num_batches floors to 0)
+            num_batches = min(num_batches, n)
         segmented_imgs = self.batch_predict(
             image_data, (n, w, h, self.nb_classes), num_batches)
         if return_image:

@@ -137,10 +137,16 @@ def peak_refinement(imgdata: np.ndarray, coordinates: np.ndarray,
             "mean atomic distance.", stacklevel=2)
         dist = get_nn_distances_(coordinates)[0]
         d = int(np.mean(np.concatenate(dist)) * 0.25)
+    # pad the atom count to a power-of-two bucket: refine_peaks is jitted
+    # on the static shape, and every frame having a distinct atom count
+    # would otherwise recompile the whole vmapped LM program per frame
+    n = len(coordinates)
+    n_pad = 1 << max(4, int(n - 1).bit_length())
+    coords2 = np.full((n_pad, 2), -1e6, np.float32)
+    coords2[:n] = coordinates[:, :2]
     refined = refine_peaks(jnp.asarray(imgdata, jnp.float32),
-                           jnp.asarray(coordinates[:, :2], jnp.float32),
-                           int(d))
-    refined = np.asarray(refined)
+                           jnp.asarray(coords2), int(d))
+    refined = np.asarray(refined)[:n]
     return np.concatenate([refined, coordinates[:, 2:3]], axis=-1)
 
 
