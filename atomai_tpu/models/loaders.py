@@ -95,6 +95,12 @@ def load_ensemble(filepath: str):
     meta, arrays = load_checkpoint(filepath)
     smodel = load_single_from(meta, arrays)
     ensemble = {int(k): v for k, v in arrays["ensemble"].items()}
+    ebs = arrays.get("ensemble_batch_stats")
+    if ebs:
+        # full-state members so EnsemblePredictor restores each member's
+        # own BatchNorm running statistics
+        ensemble = {k: {"params": v, "batch_stats": ebs[str(k)]}
+                    for k, v in ensemble.items()}
     return smodel, ensemble
 
 

@@ -49,11 +49,38 @@ class EnsemblePredictor(BasePredictor):
             raise TypeError(
                 "Specify input (in_dim) & output (out_dim) dimensions")
         self.ensemble = ensemble
-        # stack member params along a leading axis for vmapped forward
+        # stack member params along a leading axis for vmapped forward;
+        # members may be bare param trees or full variable dicts
+        # ({"params": ..., "batch_stats": ...}, the reference's
+        # full-state_dict-per-member form)
         members = [ensemble[i] for i in sorted(ensemble.keys())]
+        if members and all(isinstance(m, dict) and "params" in m
+                           for m in members):
+            if batch_stats is None and "batch_stats" in members[0]:
+                batch_stats = {i: m["batch_stats"]
+                               for i, m in enumerate(members)}
+            members = [m["params"] for m in members]
         self.params_stack = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *members)
         self.n_models = len(members)
+        # batch_stats may be one shared tree OR a {member: tree} dict with
+        # per-member BatchNorm running statistics (the correct analog of
+        # the reference's full state_dict swap, `epredictor.py:142-159`)
+        self.batch_stats_stack = None
+        bs = batch_stats
+        if isinstance(bs, dict) and bs and all(
+                isinstance(k, int) or (isinstance(k, str) and k.isdigit())
+                for k in bs):
+            mem_bs = [bs[k] for k in sorted(bs, key=int)]
+            if len(mem_bs) != self.n_models:
+                raise ValueError(
+                    f"batch_stats has {len(mem_bs)} members, ensemble has "
+                    f"{self.n_models}")
+            self.batch_stats_stack = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *mem_bs)
+            batch_stats = None
+            self.batch_stats = None
         # shard members across devices (mesh=None auto-builds over all
         # devices, mesh=False disables, or pass a jax.sharding.Mesh);
         # the reference swaps state_dicts sequentially on one device
@@ -116,14 +143,15 @@ class EnsemblePredictor(BasePredictor):
         nb = self.nb_classes or 0
         logits = self.logits
         batch_stats = self.batch_stats
+        bs_stack = self.batch_stats_stack
 
-        def member_fwd(params, x):
+        def member_fwd(params, member_bs, x):
             variables = {"params": params}
-            if batch_stats is not None:
+            if member_bs is not None:
+                variables["batch_stats"] = member_bs
+            elif batch_stats is not None:
                 variables["batch_stats"] = batch_stats
             out = model.apply(variables, x, False)
-            if out.ndim == x.ndim:  # channel dim missing (spectra out)
-                pass
             if logits:
                 if nb > 1:
                     out = jax.nn.softmax(out, axis=-1)
@@ -134,7 +162,11 @@ class EnsemblePredictor(BasePredictor):
                     out = jnp.exp(out)
             return out
 
-        vfwd = jax.vmap(member_fwd, in_axes=(0, None))
+        if bs_stack is not None:
+            vfwd = jax.vmap(member_fwd, in_axes=(0, 0, None))
+        else:
+            vfwd = jax.vmap(lambda p, x: member_fwd(p, None, x),
+                            in_axes=(0, None))
         if self._mesh is not None:
             # explicit SPMD over the member axis: each device runs its
             # local members' forwards; input replicates (GSPMD cannot
@@ -142,10 +174,17 @@ class EnsemblePredictor(BasePredictor):
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
             from ..core.mesh import MODEL_AXIS
-            vfwd = shard_map(vfwd, mesh=self._mesh,
-                             in_specs=(P(MODEL_AXIS), P()),
-                             out_specs=P(MODEL_AXIS), check_vma=False)
-        return jax.jit(vfwd)
+            M, R = P(MODEL_AXIS), P()
+            in_specs = (M, M, R) if bs_stack is not None else (M, R)
+            vfwd = shard_map(vfwd, mesh=self._mesh, in_specs=in_specs,
+                             out_specs=M, check_vma=False)
+        jitted = jax.jit(vfwd)
+        if bs_stack is not None:
+            if self._mesh is not None:
+                from ..trainers.etrainer import shard_member_stacked
+                bs_stack = shard_member_stacked(bs_stack, self._mesh)
+            return lambda p, x: jitted(p, bs_stack, x)
+        return jitted
 
     def ensemble_forward(self, data, out_shape=None, num_batches: int = 1
                          ) -> np.ndarray:

@@ -72,6 +72,7 @@ class BaseEnsembleTrainer(BaseTrainer):
             self.net = model
             self.nb_classes = nb_classes
         self.ensemble_state_dict: Dict[int, Any] = {}
+        self.ensemble_batch_stats: Dict[int, Any] = {}
         self.kdict: Dict[str, Any] = {}
 
     def compile_ensemble_trainer(self, **kwargs) -> None:
@@ -330,7 +331,14 @@ class BaseEnsembleTrainer(BaseTrainer):
                    for i in range(n_models)]
         self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
         if host_bs is not None:
-            self.batch_stats = jax.tree.map(lambda x: x[-1], host_bs)
+            # every member keeps ITS OWN BatchNorm running statistics for
+            # prediction (the reference swaps full state_dicts incl. BN
+            # buffers, `epredictor.py:142-159`; sharing one member's stats
+            # corrupts the others' eval-mode forwards)
+            self.ensemble_batch_stats = {
+                i: jax.tree.map(lambda x: x[i], host_bs)
+                for i in range(n_models)}
+            self.batch_stats = self.ensemble_batch_stats[n_models - 1]
         self.params = members[-1]
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
@@ -369,7 +377,10 @@ class BaseEnsembleTrainer(BaseTrainer):
         # final model carries the ensemble-averaged weights
         self.params = jax.tree.map(lambda x: x.mean(axis=0), host_params)
         if host_bs is not None:
-            self.batch_stats = jax.tree.map(lambda x: x[-1], host_bs)
+            self.ensemble_batch_stats = {
+                i: jax.tree.map(lambda x: x[i], host_bs)
+                for i in range(n_models)}
+            self.batch_stats = self.ensemble_batch_stats[n_models - 1]
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
 
@@ -413,6 +424,11 @@ class BaseEnsembleTrainer(BaseTrainer):
         arrays = {"params": self.params if self.params is not None else {},
                   "ensemble": {str(k): v for k, v in
                                self.ensemble_state_dict.items()}}
+        if self.ensemble_batch_stats:
+            arrays["ensemble_batch_stats"] = {
+                str(k): v for k, v in self.ensemble_batch_stats.items()}
+        if self.batch_stats is not None:
+            arrays["batch_stats"] = self.batch_stats
         return save_checkpoint(fname + "_ensemble_metadict", meta, arrays)
 
 

@@ -72,13 +72,36 @@ def test_ensemble_predictor(seg_data, tmp_path):
                                 filename=str(tmp_path / "ep"))
     _, ensemble = et.train_ensemble_from_scratch(imgs, masks, n_models=3)
     p = EnsemblePredictor(et.net, ensemble, nb_classes=1,
-                          batch_stats=et.batch_stats, verbose=0)
+                          batch_stats=et.ensemble_batch_stats, verbose=0)
+    # per-member BatchNorm running statistics must be used (sharing one
+    # member's stats corrupts the others' eval-mode forwards)
+    assert p.batch_stats_stack is not None
     mean, var = p.predict(imgs[:2], num_batches=1)
     assert mean.shape == (2, 32, 32, 1)
     assert var.shape == (2, 32, 32, 1)
     assert (np.asarray(var) >= 0).all()
     # variance must be nonzero somewhere (members differ)
     assert float(np.max(var)) > 0
+
+
+def test_ensemble_batch_stats_roundtrip(seg_data, tmp_path):
+    """Per-member BN stats survive the metadict save/load and are
+    restored as full-state members."""
+    from atomai_tpu.models import load_ensemble
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                filename=str(tmp_path / "rt"))
+    et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    assert set(et.ensemble_batch_stats) == {0, 1}
+    (net, _), ensemble = load_ensemble(str(tmp_path / "rt") +
+                                       "_ensemble_metadict")
+    assert "batch_stats" in ensemble[0]
+    p = EnsemblePredictor(net, ensemble, nb_classes=1, verbose=0)
+    assert p.batch_stats_stack is not None
+    mean, var = p.predict(imgs[:1], num_batches=1)
+    assert np.isfinite(np.asarray(mean)).all()
 
 
 def test_ensemble_locate_format():
