@@ -88,5 +88,8 @@ def test_ensemble_save_load(tmp_path):
     path = str(tmp_path / "ens") + "_ensemble_metadict"
     smodel, loaded_ens = load_ensemble(path)
     assert len(loaded_ens) == 2
-    assert _params_equal(ensemble[0], loaded_ens[0])
-    assert _params_equal(ensemble[1], loaded_ens[1])
+    # members round-trip as full-state dicts when BN stats are present
+    m0 = loaded_ens[0].get("params", loaded_ens[0])
+    assert _params_equal(ensemble[0], m0)
+    m1 = loaded_ens[1].get("params", loaded_ens[1])
+    assert _params_equal(ensemble[1], m1)

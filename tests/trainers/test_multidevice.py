@@ -89,18 +89,20 @@ def test_ensemble_predictor_shards_members():
     for i in range(4):
         k = jax.random.key(i)
         v = dict(net.init({"params": k, "dropout": k}, x0, False))
-        members[i] = v["params"]
-        bs = v.get("batch_stats")
-    p = EnsemblePredictor(net, members, nb_classes=1, batch_stats=bs,
-                          verbose=0)
+        # full-state members: per-member BatchNorm stats shard with the
+        # member axis (shard_map in_specs (M, M, R))
+        members[i] = {"params": v["params"],
+                      "batch_stats": v["batch_stats"]}
+    p = EnsemblePredictor(net, members, nb_classes=1, verbose=0)
+    assert p.batch_stats_stack is not None
     leaf = jax.tree.leaves(p.params_stack)[0]
     assert len(leaf.sharding.device_set) >= 4, leaf.sharding
     X = np.random.RandomState(0).rand(2, 32, 32).astype(np.float32)
     mean, var = p.predict(X, num_batches=1)
     assert mean.shape == (2, 32, 32, 1) and np.isfinite(mean).all()
     # parity vs unsharded
-    p1 = EnsemblePredictor(net, members, nb_classes=1, batch_stats=bs,
-                           verbose=0, mesh=False)
+    p1 = EnsemblePredictor(net, members, nb_classes=1, verbose=0,
+                           mesh=False)
     mean1, var1 = p1.predict(X, num_batches=1)
     np.testing.assert_allclose(mean, mean1, atol=1e-5)
     np.testing.assert_allclose(var, var1, atol=1e-5)
