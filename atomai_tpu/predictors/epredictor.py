@@ -274,14 +274,18 @@ def ensemble_locate(nn_output_ensemble: np.ndarray, **kwargs
     """
     eps = kwargs.get("eps", 0.5)
     thresh = kwargs.get("threshold", 0.5)
+    n_models, n_images = nn_output_ensemble.shape[:2]
+    # one batched Locator call over all (member, frame) maps instead of
+    # n_models * n_images separate device dispatch+fetch rounds
+    flat = np.reshape(np.asarray(nn_output_ensemble),
+                      (n_models * n_images,
+                       *nn_output_ensemble.shape[2:]))
+    all_coords = Locator(thresh).run(flat)
     coord_mean_all = {}
     coord_var_all = {}
-    for i in range(nn_output_ensemble.shape[1]):
-        coordinates = {}
-        nn_output = nn_output_ensemble[:, i]
-        for i2, img in enumerate(nn_output):
-            coord = Locator(thresh).run(img[None, ...])
-            coordinates[i2] = coord[0]
+    for i in range(n_images):
+        coordinates = {m: all_coords[m * n_images + i]
+                       for m in range(n_models)}
         _, coord_mean, coord_var = cluster_coord(coordinates, eps)
         coord_mean_all[i] = coord_mean
         coord_var_all[i] = coord_var
