@@ -55,6 +55,41 @@ def ensemble_mesh(n_models: int,
                     devices=devices)
 
 
+def resolve_data_mesh(mesh=None, batch_size: Optional[int] = None
+                      ) -> Optional[Mesh]:
+    """Resolves the data-parallel mesh default shared by every training and
+    prediction engine:
+
+    * ``None``  — auto-build a pure-data mesh when more than one device is
+      present (the reference is single-device by design,
+      `atomai/trainers/trainer.py:70-75`; beating that is the point of the
+      rebuild, so multi-chip hosts data-shard by default). With
+      ``batch_size`` given, the mesh is sized to the largest device count
+      that divides the batch — an auto mesh that cannot actually shard the
+      batch is skipped rather than compiled as a no-win SPMD program;
+    * ``False`` — explicitly disable sharding (single-device run);
+    * a ``jax.sharding.Mesh`` — used as given.
+    """
+    if mesh is False:
+        return None
+    if mesh is not None:
+        return mesh
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return None
+    n_data = n_dev
+    if batch_size is not None:
+        n_data = 1
+        for d in range(min(n_dev, batch_size), 0, -1):
+            if batch_size % d == 0:
+                n_data = d
+                break
+        if n_data <= 1:
+            return None
+    return get_mesh(n_data=n_data, n_model=1,
+                    devices=jax.devices()[:n_data])
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
@@ -62,6 +97,38 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_member_stacked(tree, mesh: Mesh):
+    """Places member-stacked pytrees with the leading (member/model) axis
+    sharded over the mesh MODEL axis; scalars replicate. Used for deep-
+    ensemble members (`trainers/etrainer.py`) and the independent-output
+    DKL-GP stacks (`trainers/gptrainer.py`) — the reference trains both
+    sequentially / in one process (`atomai/trainers/etrainer.py:144-151`,
+    `atomai/trainers/gptrainer.py:213-228`)."""
+
+    def put(leaf):
+        import jax.numpy as jnp
+        leaf = jnp.asarray(leaf)
+        spec = P(MODEL_AXIS, *([None] * (leaf.ndim - 1))) \
+            if leaf.ndim >= 1 else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def resolve_model_mesh(mesh, n_models: int) -> Optional[Mesh]:
+    """Model-axis analog of :func:`resolve_data_mesh`: ``None`` auto-builds
+    an :func:`ensemble_mesh` over all devices when members actually spread
+    out, ``False`` disables, a Mesh is used as given."""
+    if mesh is False:
+        return None
+    if mesh is not None:
+        return mesh
+    if jax.device_count() > 1:
+        m = ensemble_mesh(n_models)
+        if m.shape[MODEL_AXIS] > 1:
+            return m
+    return None
 
 
 def shard_batch(mesh: Optional[Mesh], *arrays):

@@ -74,6 +74,28 @@ def block_until_ready(tree: Any) -> Any:
     return tree
 
 
+def compiled_bytes_accessed(jitted_fn, *args) -> Optional[float]:
+    """Post-fusion HBM traffic estimate of one call: XLA's own
+    ``cost_analysis()['bytes accessed']`` over the OPTIMIZED HLO (after
+    fusion), i.e. operand+output bytes of every surviving instruction.
+    This is the numerator of the bandwidth roofline: achieved GB/s =
+    bytes_accessed / wall_time, compared against the chip's HBM peak.
+    (Unlike its FLOP counter, XLA's bytes accounting covers the TPU conv
+    custom calls — their operand/result bytes are first-class.)
+
+    Returns None where cost analysis is unavailable (e.g. some remote
+    backends)."""
+    try:
+        compiled = jitted_fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        val = float(ca.get("bytes accessed", 0.0))
+        return val if val > 0 else None
+    except Exception:
+        return None
+
+
 def jaxpr_matmul_flops(fn, *args, **kwargs) -> float:
     """Analytic MXU FLOPs (convs + dots) of ``fn(*args)``.
 

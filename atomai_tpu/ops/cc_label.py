@@ -151,8 +151,48 @@ def blob_centers_stack(masks: jnp.ndarray, max_blobs: int = 2048):
     Frames run through the single-mask jitted program sequentially (all
     dispatched before stacking): vmapping the while-loop labeler batches
     its gathers pathologically (4x2048^2: ~5.5 s vmapped vs ~1.5 s looped)
-    and recompiles per frame count, several minutes of XLA time at 2048^2."""
+    and recompiles per frame count, several minutes of XLA time at 2048^2.
+    For MANY frames use :func:`blob_centers_tiled` — one program for the
+    whole stack."""
     outs = [blob_centers(masks[i], max_blobs)
             for i in range(masks.shape[0])]
     coords, sizes, valids = zip(*outs)
     return (jnp.stack(coords), jnp.stack(sizes), jnp.stack(valids))
+
+
+def blob_centers_tiled(masks: jnp.ndarray, max_blobs_total: int = 65536
+                       ) -> Tuple[jnp.ndarray, ...]:
+    """Blob centers for a WHOLE stack in one device program.
+
+    Frames tile vertically with a one-row background separator —
+    4-connectivity cannot cross it, so components never merge across
+    frames — and the tiled (N*(H+1), W) image runs through a single
+    label -> moments -> extract pass. This amortizes per-frame dispatch
+    latency (~0.1-0.5 s each over a remote-TPU tunnel) over the stack:
+    at 64x512^2 it is one dispatch chain instead of 64x3.
+
+    Returns:
+        coords: (max_blobs_total, 2) float32 per-frame-local (row, col).
+        frames: (max_blobs_total,) int32 frame index of each blob.
+        sizes:  (max_blobs_total,) int32 pixel counts (0 for padding).
+        valid:  (max_blobs_total,) bool validity mask.
+
+    Blob order is frame-major then per-frame raster order — identical to
+    concatenating :func:`blob_centers` results frame by frame.
+    """
+    N, H, W = masks.shape
+    tiled = jnp.pad(masks, ((0, 0), (0, 1), (0, 0))).reshape(
+        N * (H + 1), W)
+    from .pallas_cc import label_components_auto
+    lab = label_components_auto(tiled)
+    counts, row_sum, col_sum = _blob_moments(lab)
+    coords, sizes, valid = _blob_extract(
+        counts, row_sum, col_sum, max_blobs_total, N * (H + 1) * W)
+    # a blob's row CoM stays inside its frame's band of rows, so the band
+    # index recovers the frame and the remainder the local row
+    frames = (coords[:, 0] // (H + 1)).astype(jnp.int32)
+    local = jnp.stack([coords[:, 0] - frames * (H + 1), coords[:, 1]],
+                      axis=-1)
+    local = jnp.where(valid[:, None], local, 0.0)
+    frames = jnp.where(valid, frames, -1)
+    return local, frames, sizes, valid

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nets.fcnn import DOWNSAMPLE_FACTORS
-from ..ops.cc_label import blob_centers_stack
+from ..ops.cc_label import blob_centers_stack, blob_centers_tiled
 from ..utils.coords import peak_refinement
 from ..utils.img import img_pad, img_resize
 from ..utils.preproc import format_image, format_spectra
@@ -64,6 +64,16 @@ class BasePredictor:
             from ..core.mesh import get_mesh
             mesh = get_mesh(n_data=jax.device_count(), n_model=1)
         self.mesh = mesh or None
+        if self.mesh is not None and self.params is not None:
+            # re-place variables onto THIS mesh: params trained under a
+            # different mesh (e.g. an auto-DP mesh sized to the training
+            # batch) arrive committed to that device subset, and mixing
+            # commitments in one jit is an error
+            from ..core.mesh import replicate
+            rep = replicate(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            if self.batch_stats is not None:
+                self.batch_stats = jax.device_put(self.batch_stats, rep)
 
     def _shard_input(self, x):
         """Pads the leading (frame/tile) axis to the mesh data size and
@@ -402,19 +412,38 @@ class Locator:
         # can equal the foreground pixel count (all-1px blobs), so bound by
         # it — never silently drops atoms (reference `coords.py:21-34`
         # semantics: scipy.ndimage.label never drops)
-        max_count = int(masks.sum(axis=(1, 2)).max()) + 1
-        max_blobs = 1 << (max(8, min(max_count, h * w)) - 1).bit_length()
-        coords, _, valid = blob_centers_stack(jnp.asarray(masks), max_blobs)
-        coords = np.asarray(coords)
-        valid = np.asarray(valid)
+        n_masks = n * n_cls
+        if n_masks > 8:
+            # many-frame path: the whole stack labels in ONE device
+            # program (frames tiled with background separators) instead of
+            # one dispatch chain per frame — per-dispatch tunnel latency
+            # would otherwise dominate on long movies
+            total = int(masks.sum()) + 1
+            max_total = 1 << (max(8, min(total, n_masks * h * w))
+                              - 1).bit_length()
+            coords_t, frames_t, _, valid_t = blob_centers_tiled(
+                jnp.asarray(masks), max_total)
+            coords_t = np.asarray(coords_t)
+            frames_t = np.asarray(frames_t)
+            valid_t = np.asarray(valid_t)
+            per_mask = [coords_t[(frames_t == k) & valid_t]
+                        for k in range(n_masks)]
+        else:
+            max_count = int(masks.sum(axis=(1, 2)).max()) + 1
+            max_blobs = 1 << (max(8, min(max_count, h * w))
+                              - 1).bit_length()
+            coords, _, valid = blob_centers_stack(jnp.asarray(masks),
+                                                  max_blobs)
+            coords = np.asarray(coords)
+            valid = np.asarray(valid)
+            per_mask = [coords[k][valid[k]] for k in range(n_masks)]
         d_coord = {}
         for i in range(n):
             coordinates = np.empty((0, 2))
             category = np.empty((0, 1))
             for ch in range(n_cls):
-                k = i * n_cls + ch
-                coord = coords[k][valid[k]]
-                coord_ch = self.rem_edge_coord(coord, h, w)
+                coord_ch = self.rem_edge_coord(per_mask[i * n_cls + ch],
+                                               h, w)
                 category_ch = np.zeros((coord_ch.shape[0], 1)) + ch
                 coordinates = np.append(coordinates, coord_ch, axis=0)
                 category = np.append(category, category_ch, axis=0)

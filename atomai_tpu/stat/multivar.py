@@ -306,10 +306,9 @@ def calculate_transition_matrix(trace: Union[List, np.ndarray]
     """Markov transition matrix from a state sequence
     (reference `multivar.py:758-778`)."""
     trace = np.asarray(trace, dtype=np.int64)
-    n = 1 + int(max(trace))
+    n = 1 + int(trace.max())
     M = np.zeros((n, n))
-    for i, j in zip(trace, trace[1:]):
-        M[i][j] += 1
+    np.add.at(M, (trace[:-1], trace[1:]), 1)   # all transitions at once
     row_sums = M.sum(axis=1, keepdims=True)
     np.divide(M, row_sums, out=M, where=row_sums > 0)
     return M
@@ -323,9 +322,11 @@ def sum_transitions(trans_dict: Dict, msize: int,
     transmat_all = np.zeros((msize, msize))
     for traj, trans in zip(trans_dict["trajectories"],
                            trans_dict["transitions"]):
-        states = np.unique(traj[:, -1]).astype(np.int64)
-        for (i, j), v in np.ndenumerate(trans):
-            transmat_all[states[i] - 1, states[j] - 1] += v
+        # each per-trajectory matrix is indexed by that trajectory's
+        # renumerated (dense) states; scatter-add it back into the global
+        # (state_i, state_j) block in one vectorized call
+        states = np.unique(traj[:, -1]).astype(np.int64) - 1
+        transmat_all[np.ix_(states, states)] += trans
     sums = transmat_all.sum(axis=1, keepdims=True)
     np.divide(transmat_all, sums, out=transmat_all, where=sums > 0)
     if plot_results:
@@ -350,56 +351,58 @@ def update_classes(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
     elif np.ndim(nn_input) == 3 and nn_input.shape[-1] < 10:
         nn_input = nn_input[None, ...]
     coordinates_ = copy.deepcopy(coordinates)
-    if method == "threshold":
-        r = kwargs.get("window_size", 3)
-        intensities = get_intensities(coordinates_, nn_input, r)
-        thresh = kwargs.get("thresh")
-        if thresh is None:
-            raise AttributeError(
-                "Specify intensity threshold value ('thresh'), "
-                "e.g. thresh=.5")
-        for i, iarray in enumerate(intensities):
-            iarray = np.where(iarray < thresh, 0.0, 1.0)
-            coordinates_[i][:, -1] = iarray
-    elif method == "kmeans":
-        r = kwargs.get("window_size", 3)
-        intensities = get_intensities(coordinates_, nn_input, r)
-        intensities_ = np.concatenate(intensities)
-        n_components = kwargs.get("n_components")
-        if n_components is None:
-            raise AttributeError(
-                "Specify number of components ('n_components')")
-        km = KMeans(n_clusters=n_components, random_state=42)
-        km.fit(intensities_[:, None])
-        for i, iarray in enumerate(intensities):
-            coordinates_[i][:, -1] = km.predict(iarray[:, None])
-    elif method == "meanshift":
-        r = kwargs.get("window_size", 3)
-        intensities = get_intensities(coordinates_, nn_input, r)
-        intensities_ = np.concatenate(intensities)
-        from sklearn import cluster as _c
-        bandwidth = _c.estimate_bandwidth(
-            intensities_[:, None], quantile=kwargs.get("quantile", .25))
-        ms = _c.MeanShift(bandwidth=bandwidth, bin_seeding=True)
-        ms.fit(intensities_[:, None])
-        for i, iarray in enumerate(intensities):
-            coordinates_[i][:, -1] = ms.predict(iarray[:, None])
-    elif method == "gmm_local":
+
+    if method == "gmm_local":
         n_components = kwargs.get("n_components")
         window_size = kwargs.get("window_size")
-        coord_class = kwargs.get("coord_class", 0)
         if None in (n_components, window_size):
             raise AttributeError(
                 "Specify number of components ('n_components') and "
                 "window size ('window_size')")
-        s = imlocal(nn_input, coordinates_, window_size, coord_class)
+        s = imlocal(nn_input, coordinates_, window_size,
+                    kwargs.get("coord_class", 0))
         _, _, com_frames = s.gmm(n_components)
         for i in coordinates_.keys():
             coordinates_[i] = com_frames[
                 com_frames[:, -1] == float(i)][:, :3]
             coordinates_[i][:, -1] = coordinates_[i][:, -1] - 1
+        return coordinates_
+
+    # intensity-based methods share one pipeline: window-mean intensities
+    # per atom -> a fitted scalar labeler -> per-frame class columns
+    if method == "threshold":
+        thresh = kwargs.get("thresh")
+        if thresh is None:
+            raise AttributeError(
+                "Specify intensity threshold value ('thresh'), "
+                "e.g. thresh=.5")
+
+        def fit_labeler(values):
+            return lambda v: (v[:, 0] >= thresh).astype(float)
+    elif method == "kmeans":
+        n_components = kwargs.get("n_components")
+        if n_components is None:
+            raise AttributeError(
+                "Specify number of components ('n_components')")
+
+        def fit_labeler(values):
+            return KMeans(n_clusters=n_components,
+                          random_state=42).fit(values).predict
+    elif method == "meanshift":
+        def fit_labeler(values):
+            from sklearn import cluster as _c
+            bandwidth = _c.estimate_bandwidth(
+                values, quantile=kwargs.get("quantile", .25))
+            return _c.MeanShift(bandwidth=bandwidth,
+                                bin_seeding=True).fit(values).predict
     else:
         raise NotImplementedError(
             "Choose between 'threshold', 'kmeans', 'meanshift' and "
             "'gmm_local' methods")
+
+    intensities = get_intensities(coordinates_, nn_input,
+                                  kwargs.get("window_size", 3))
+    labeler = fit_labeler(np.concatenate(intensities)[:, None])
+    for i, iarray in enumerate(intensities):
+        coordinates_[i][:, -1] = labeler(iarray[:, None])
     return coordinates_

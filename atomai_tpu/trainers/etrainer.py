@@ -25,7 +25,8 @@ import numpy as np
 import optax
 
 from ..core.checkpoint import save_checkpoint
-from ..core.mesh import MODEL_AXIS, ensemble_mesh
+from ..core.mesh import (MODEL_AXIS, resolve_model_mesh,
+                         shard_member_stacked)
 from ..losses_metrics import iou_score
 from ..nets import init_fcnn_model, init_imspec_model
 from ..utils import preproc
@@ -44,22 +45,6 @@ def _unstack_tree(tree, n):
     # ruinous over a remote-TPU tunnel (~0.14 s latency per fetch).
     host = jax.device_get(tree)
     return [jax.tree.map(lambda x: x[i], host) for i in range(n)]
-
-
-def shard_member_stacked(tree, mesh):
-    """Places member-stacked pytrees with the leading (member) axis sharded
-    over the mesh MODEL axis; scalars replicate. This is the library-level
-    ensemble parallelism: the reference trains members sequentially on one
-    device (`atomai/trainers/etrainer.py:144-151`); here members both vmap
-    into one program AND spread across chips."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def put(leaf):
-        leaf = jnp.asarray(leaf)
-        spec = P(MODEL_AXIS, *([None] * (leaf.ndim - 1))) \
-            if leaf.ndim >= 1 else P()
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-    return jax.tree.map(put, tree)
 
 
 class BaseEnsembleTrainer(BaseTrainer):
@@ -86,23 +71,18 @@ class BaseEnsembleTrainer(BaseTrainer):
         # batch/DP mesh used by _shard_stacked)
         self.member_mesh = kwargs.pop("mesh", None)
         self.kdict = kwargs
+        # the ensemble engine parallelizes over the MEMBER axis (shard_map
+        # with replicated batches); disable BaseTrainer's auto data mesh so
+        # the staged batches are not committed to a competing mesh
+        self.kdict["mesh"] = False
         self.full_epoch = self.kdict.get("full_epoch", False)
         self.batch_size = self.kdict.get("batch_size", 32)
         self.kdict["overwrite_train_data"] = False
 
     def _resolve_mesh(self, n_models: int):
         """Mesh over which member-stacked state shards (or None)."""
-        mesh = getattr(self, "member_mesh", None)
-        if mesh is False:
-            return None
-        if mesh is not None:
-            return mesh
-        if jax.device_count() > 1:
-            m = ensemble_mesh(n_models)
-            # only worthwhile if members actually spread out
-            if m.shape[MODEL_AXIS] > 1:
-                return m
-        return None
+        return resolve_model_mesh(getattr(self, "member_mesh", None),
+                                  n_models)
 
     # ------------------------------------------------------ vmapped core
     def _vmapped_train(self, n_models: int, cycles: int,
@@ -199,6 +179,11 @@ class BaseEnsembleTrainer(BaseTrainer):
                     lambda s: s / swa_cycles, swa_sum)
             losses = jnp.stack(losses_all)
         else:
+            # kept for roofline accounting (bench.py lowers the engine to
+            # read XLA's post-fusion bytes-accessed estimate)
+            self._engine_probe = (run_all, (params_stack, bs_stack,
+                                            opt_stack, sched, mkeys, Xb,
+                                            yb))
             params_stack, bs_stack, losses = run_all(
                 params_stack, bs_stack, opt_stack, sched, mkeys, Xb, yb)
         self.loss_acc["train_loss"].extend(

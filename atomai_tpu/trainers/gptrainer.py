@@ -412,6 +412,7 @@ class dklGPTrainer(GPTrainer):
         self.fe = None
         self.fe_params = None
         self.freeze_weights = False
+        self.model_mesh = None
         # Train-time min/max of the embedding (gpytorch ScaleToBounds
         # stores these in train mode and reuses them in eval mode); set
         # after each run(). None -> per-batch scaling (training only).
@@ -484,7 +485,10 @@ class dklGPTrainer(GPTrainer):
     def compile_multi_model_trainer(self, X, y, training_cycles: int = 1,
                                     **kwargs):
         """Independent-output DKL: vmapped one-FE+GP-per-output
-        (reference `gptrainer.py:181-244`)."""
+        (reference `gptrainer.py:181-244` trains up to 128 NN+GP pairs as a
+        sequentially-evaluated ``IndependentModelList``; here the stacked
+        pairs train simultaneously AND shard over the mesh model axis —
+        pass ``mesh=False`` to keep them on one device)."""
         if self.correlated_output:
             raise NotImplementedError(
                 "To compile a DKL-GP trainer for correlated outputs "
@@ -500,6 +504,16 @@ class dklGPTrainer(GPTrainer):
             identical=not self.ensemble)
         self.freeze_weights = kwargs.get("freeze_weights", False)
         self.gp_params = init_gp_params(embedim, (b,))
+        from ..core.mesh import resolve_model_mesh, shard_member_stacked
+        self.model_mesh = resolve_model_mesh(kwargs.get("mesh"), b)
+        if self.model_mesh is not None:
+            # one output-GP (+FE) per mesh model-axis slot; X replicates,
+            # the per-output y rows shard with their models
+            self.fe_params = shard_member_stacked(self.fe_params,
+                                                  self.model_mesh)
+            self.gp_params = shard_member_stacked(self.gp_params,
+                                                  self.model_mesh)
+            self.y = shard_member_stacked(self.y, self.model_mesh)
         params = {"gp": self.gp_params}
         if not self.freeze_weights:
             params["fe"] = self.fe_params

@@ -203,10 +203,13 @@ class BaseTrainer:
         self.compute_accuracy = compute_accuracy
         self.swa = swa
         self.lr_scheduler = kwargs.get("lr_scheduler")
-        # multi-device data parallelism: pass a jax.sharding.Mesh with a
-        # "data" axis (see atomai_tpu.core.mesh.get_mesh); batches shard
-        # over it and XLA inserts the gradient collectives
-        self.mesh = kwargs.get("mesh", self.mesh)
+        # Multi-device data parallelism (SURVEY.md §2.10). Default: on a
+        # multi-device host the data mesh auto-builds and batches shard
+        # over its "data" axis (XLA inserts the gradient psum). Pass
+        # mesh=False to opt out, or a jax.sharding.Mesh to control layout.
+        from ..core.mesh import resolve_data_mesh
+        self.mesh = resolve_data_mesh(kwargs.get("mesh", self.mesh),
+                                      batch_size)
 
         if self.data_is_set:
             if kwargs.get("overwrite_train_data", True) and \
@@ -556,6 +559,31 @@ class BaseTrainer:
 
     def fit(self):
         self.run()
+
+    def train_bytes_per_cycle(self) -> Optional[float]:
+        """Post-fusion HBM bytes accessed per training cycle (XLA cost
+        analysis of the compiled chunk; see
+        `core.profiling.compiled_bytes_accessed`) — the bandwidth-roofline
+        counterpart of :meth:`train_flops_per_cycle`."""
+        if self._cpu_loop_engine():
+            return None
+        self._maybe_init_model()
+        if self._compiled_chunk is None:
+            self._compiled_chunk = self._make_cycle_fn()
+        cycles = self.training_cycles
+        chunk = max(1, min(self.print_loss, cycles))
+        swa_state = SwaState.init(self.params)
+        carry = (self.params, self.batch_stats, self.opt_state, swa_state)
+        keys = jax.random.split(jax.random.key(0), chunk)
+        es = jnp.arange(chunk)
+        if not self.full_epoch:
+            xs = (es, jnp.asarray(self.batch_idx_train[:chunk]),
+                  jnp.asarray(self.batch_idx_test[:chunk]), keys)
+        else:
+            xs = (es, keys)
+        from ..core.profiling import compiled_bytes_accessed
+        total = compiled_bytes_accessed(self._compiled_chunk, carry, xs)
+        return total / chunk if total else None
 
     def train_flops_per_cycle(self) -> Optional[float]:
         """Analytic MXU FLOPs (convs + dots, fwd+bwd) for ONE training

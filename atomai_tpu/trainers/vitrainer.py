@@ -20,6 +20,7 @@ import numpy as np
 import optax
 
 from ..core.checkpoint import load_checkpoint, save_checkpoint
+from ..core.mesh import DATA_AXIS, resolve_data_mesh, shard_batch
 from ..core.prng import KeySeq
 
 
@@ -55,6 +56,7 @@ class viBaseTrainer:
         self.filename = "model"
         self.training_cycles = 1
         self.batch_size = 1
+        self.mesh = None
         self._train_epoch_fn = None
         self._eval_epoch_fn = None
 
@@ -128,6 +130,18 @@ class viBaseTrainer:
             self.X_test, self.y_test = self._2jnp(X_test, y_test)
         else:
             self.X_test = self.y_test = None
+        if self.mesh is not None:
+            # sample axis shards over the mesh data axis; the epoch engine
+            # re-constrains each gathered minibatch so the per-batch
+            # compute (the rDecoderNet per-pixel MLP is the hot op) runs
+            # data-parallel with XLA-inserted gradient psums
+            self.X_train = shard_batch(self.mesh, self.X_train)
+            if self.y_train is not None:
+                self.y_train = shard_batch(self.mesh, self.y_train)
+            if self.X_test is not None:
+                self.X_test = shard_batch(self.mesh, self.X_test)
+                if self.y_test is not None:
+                    self.y_test = shard_batch(self.mesh, self.y_test)
 
     # ----------------------------------------------------------- compile
     def compile_trainer(self, train_data: Tuple,
@@ -138,6 +152,12 @@ class viBaseTrainer:
         """Compiles the trainer (reference `vitrainer.py:173-221`)."""
         self.training_cycles = training_cycles
         self.batch_size = batch_size
+        # Data parallelism over the mesh "data" axis (SURVEY.md §2.10; the
+        # reference hot loop this engine replaces is single-device,
+        # `atomai/trainers/vitrainer.py:292-318`). Default: auto-build on
+        # multi-device hosts; mesh=False opts out.
+        self.mesh = resolve_data_mesh(kwargs.get("mesh", self.mesh),
+                                      batch_size)
         if elbo_fn is not None:
             self.elbo_fn = elbo_fn
         if test_data is not None and test_data[0] is not None:
@@ -207,6 +227,22 @@ class viBaseTrainer:
         # scan-per-epoch form)
         cpu_loop = self._cpu_loop_engine()
 
+        # data-parallel minibatches: gathering a random permutation out of
+        # the sharded sample axis leaves the batch's sharding unspecified,
+        # so re-constrain it onto the data axis — params stay replicated
+        # and XLA inserts the gradient psum
+        mesh = self.mesh
+        use_dp = (mesh is not None and
+                  bs % mesh.shape[DATA_AXIS] == 0)
+
+        def constrain(x):
+            if x is None or not use_dp:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+
         def batch_step(params, opt_state, x_i, y_i, k_i, num_iter):
             def loss_fn(p):
                 elbo = self.forward_compute_elbo_fn(
@@ -231,6 +267,10 @@ class viBaseTrainer:
                 for i in range(nb):
                     x_i = X[perm[i]]
                     y_i = y[perm[i]] if has_y else None
+                    if use_dp:
+                        x_i = shard_batch(mesh, x_i)
+                        if y_i is not None:
+                            y_i = shard_batch(mesh, y_i)
                     k_i = jax.random.fold_in(kbase, i)
                     params, opt_state, elbo = jit_step(
                         params, opt_state, x_i, y_i, k_i, num_iter0 + i)
@@ -266,8 +306,8 @@ class viBaseTrainer:
             def body(carry, i):
                 params, opt_state, elbo_sum = carry
                 idx = perm[i]
-                x_i = X[idx]
-                y_i = y[idx] if has_y else None
+                x_i = constrain(X[idx])
+                y_i = constrain(y[idx]) if has_y else None
                 k_i = jax.random.fold_in(kbase, i)
                 params, opt_state, elbo = batch_step(
                     params, opt_state, x_i, y_i, k_i, num_iter0 + i)
@@ -286,9 +326,10 @@ class viBaseTrainer:
             nbt = max(Nt // bst, 1)
 
             def body(elbo_sum, i):
-                x_i = jax.lax.dynamic_slice_in_dim(Xt, i * bst, bst)
-                y_i = jax.lax.dynamic_slice_in_dim(yt, i * bst, bst) \
-                    if yt is not None else None
+                x_i = constrain(
+                    jax.lax.dynamic_slice_in_dim(Xt, i * bst, bst))
+                y_i = None if yt is None else constrain(
+                    jax.lax.dynamic_slice_in_dim(yt, i * bst, bst))
                 k_i = jax.random.fold_in(key, i)
                 elbo = self.forward_compute_elbo_fn(
                     params, x_i, y_i, k_i, num_iter0, False)
@@ -320,6 +361,20 @@ class viBaseTrainer:
                 self._build_epoch_fns()
         return float(self._eval_epoch_fn(self.params, self.keys.next(),
                                          jnp.int32(self.num_iter)))
+
+    def epoch_bytes_accessed(self) -> Optional[float]:
+        """Post-fusion HBM bytes accessed by one compiled training epoch
+        (bandwidth-roofline numerator; see
+        `core.profiling.compiled_bytes_accessed`)."""
+        if self._cpu_loop_engine():
+            return None
+        if self._train_epoch_fn is None:
+            self._train_epoch_fn, self._eval_epoch_fn = \
+                self._build_epoch_fns()
+        from ..core.profiling import compiled_bytes_accessed
+        return compiled_bytes_accessed(
+            self._train_epoch_fn, self.params, self.opt_state,
+            self.keys.next(), jnp.int32(0))
 
     def print_statistics(self, e: int) -> None:
         """Per-epoch statistics (reference `vitrainer.py:347-359`)."""

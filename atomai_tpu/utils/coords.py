@@ -110,17 +110,16 @@ def get_nn_distances(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
 
 def gaussian_2d(xy, amp, xo, yo, sigma_x, sigma_y, theta, offset
                 ) -> np.ndarray:
-    """2D Gaussian model, flattened output (:152-176)."""
+    """Rotated anisotropic 2D Gaussian, flattened output (same model as
+    `atomai/utils/coords.py:152-176`, expressed in the rotated frame:
+    axis-aligned Gaussian over coordinates rotated by ``theta``)."""
     x, y = xy
-    a = (np.cos(theta) ** 2) / (2 * sigma_x ** 2) + \
-        (np.sin(theta) ** 2) / (2 * sigma_y ** 2)
-    b = -(np.sin(2 * theta)) / (4 * sigma_x ** 2) + \
-        (np.sin(2 * theta)) / (4 * sigma_y ** 2)
-    c = (np.sin(theta) ** 2) / (2 * sigma_x ** 2) + \
-        (np.cos(theta) ** 2) / (2 * sigma_y ** 2)
+    dx, dy = x - xo, y - yo
+    ct, st = np.cos(theta), np.sin(theta)
+    u = dx * ct - dy * st
+    v = dx * st + dy * ct
     g = offset + amp * np.exp(
-        -(a * ((x - xo) ** 2) + 2 * b * (x - xo) * (y - yo) +
-          c * ((y - yo) ** 2)))
+        -0.5 * ((u / sigma_x) ** 2 + (v / sigma_y) ** 2))
     return g.flatten()
 
 
@@ -152,19 +151,28 @@ def peak_refinement(imgdata: np.ndarray, coordinates: np.ndarray,
 
 def get_intensities_(coordinates: np.ndarray, img: np.ndarray, r: int = 3
                      ) -> np.ndarray:
-    """Mean intensity in an r x r square around each position (:234-250)."""
-    intensities_all = []
-    for c in coordinates:
-        cx = int(np.around(c[0]))
-        cy = int(np.around(c[1]))
-        if r % 2 != 0:
-            img_cr = np.copy(img[cx - r // 2:cx + r // 2 + 1,
-                                 cy - r // 2:cy + r // 2 + 1])
-        else:
-            img_cr = np.copy(img[cx - r // 2:cx + r // 2,
-                                 cy - r // 2:cy + r // 2])
-        intensities_all.append(np.mean(img_cr))
-    return np.array(intensities_all)
+    """Mean intensity in an r x r window around each position (behavior of
+    `atomai/utils/coords.py:234-250`), computed for ALL atoms at once from
+    a summed-area table: each window mean is four lookups into the 2D
+    cumulative sum instead of a python-loop crop. Windows are clipped to
+    the image bounds (off-edge atoms average their in-bounds pixels; the
+    reference's raw slicing yields NaN there)."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 3:
+        img = img.mean(-1)
+    H, W = img.shape
+    sat = np.zeros((H + 1, W + 1))
+    np.cumsum(np.cumsum(img, axis=0), axis=1, out=sat[1:, 1:])
+    centers = np.around(np.asarray(coordinates)[:, :2]).astype(np.int64)
+    lo = centers - r // 2
+    hi = lo + r                       # window spans [lo, lo + r)
+    x0 = np.clip(lo[:, 0], 0, H)
+    x1 = np.clip(hi[:, 0], 0, H)
+    y0 = np.clip(lo[:, 1], 0, W)
+    y1 = np.clip(hi[:, 1], 0, W)
+    sums = (sat[x1, y1] - sat[x0, y1] - sat[x1, y0] + sat[x0, y0])
+    counts = np.maximum((x1 - x0) * (y1 - y0), 1)
+    return sums / counts
 
 
 def get_intensities(coordinates_all: Dict[int, np.ndarray],
@@ -263,19 +271,18 @@ def find_coord_clusters(coord_class_dict_1: Dict[int, np.ndarray],
                         coord_class_dict_2: Dict[int, np.ndarray],
                         rmax: int) -> Tuple[np.ndarray, np.ndarray, List]:
     """Per-coordinate neighbor clusters across frames (:350-400)."""
-    coordinates_all = np.empty((0, 3))
-    for k in range(len(coord_class_dict_2)):
-        coordinates_all = np.append(coordinates_all, coord_class_dict_2[k],
-                                    axis=0)
-    clusters, clusters_mean, clusters_std = [], [], []
+    coordinates_all = np.concatenate(
+        [coord_class_dict_2[k] for k in range(len(coord_class_dict_2))])
+    centers = np.asarray(coord_class_dict_1[0])[:, :2]
+    # one vectorized ball query for every center at once (the reference
+    # runs a full k-NN query per center, `atomai/utils/coords.py:350-400`)
     tree = spatial.cKDTree(coordinates_all[:, :2])
-    for c0 in coord_class_dict_1[0][:, :2]:
-        _, idx = tree.query(c0, k=len(coordinates_all),
-                            distance_upper_bound=rmax)
-        idx = np.delete(idx, np.where(idx == len(coordinates_all))[0])
-        cl = coordinates_all[idx]
-        clusters_mean.append(np.mean(cl[:, :2], axis=0))
-        clusters_std.append(np.std(cl[:, :2], axis=0))
+    neighbor_idx = tree.query_ball_point(centers, r=rmax)
+    clusters, clusters_mean, clusters_std = [], [], []
+    for idx in neighbor_idx:
+        cl = coordinates_all[np.sort(idx)]
+        clusters_mean.append(cl[:, :2].mean(axis=0))
+        clusters_std.append(cl[:, :2].std(axis=0))
         clusters.append(cl)
     return np.array(clusters_mean), np.array(clusters_std), clusters
 

@@ -83,45 +83,65 @@ def img_pad(image_data: np.ndarray, pooling: int) -> np.ndarray:
     return np.pad(image_data, pad_width, mode="constant")
 
 
+def _window_bounds(coord: np.ndarray, r: int, shape: Tuple[int, int]
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Lower corners + in-bounds mask for r x r windows centered at rounded
+    coordinates. A window is valid iff it lies fully inside ``shape`` —
+    the edge rule the reference expresses through slice-shape checks
+    (`atomai/utils/img.py:138-180`; pinned by the (2833, n) golden)."""
+    centers = np.around(np.asarray(coord)[:, :2]).astype(np.int64)
+    lo = centers - r // 2              # window spans [lo, lo + r)
+    valid = ((lo[:, 0] >= 0) & (lo[:, 1] >= 0) &
+             (lo[:, 0] + r <= shape[0]) & (lo[:, 1] + r <= shape[1]))
+    return lo, valid
+
+
+def _gather_windows(imgdata: np.ndarray, lo: np.ndarray, r: int
+                    ) -> np.ndarray:
+    """One fancy-index gather of all r x r windows at once: (M, r, r, ...)
+    from lower corners (M, 2). Replaces per-atom python crop loops — on the
+    57k-atom north-star stacks this is the input prep for peak_refinement
+    and imlocal."""
+    rows = lo[:, 0, None] + np.arange(r)          # (M, r)
+    cols = lo[:, 1, None] + np.arange(r)          # (M, r)
+    return imgdata[rows[:, :, None], cols[:, None, :]]
+
+
 def get_imgstack(imgdata: np.ndarray, coord: np.ndarray, r: int
                  ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
-    """Subimages centered at coordinates, one frame (:138-180)."""
-    img_cr_all, com = [], []
-    for c in coord:
-        cx = int(np.around(c[0]))
-        cy = int(np.around(c[1]))
-        if r % 2 != 0:
-            img_cr = np.copy(imgdata[cx - r // 2:cx + r // 2 + 1,
-                                     cy - r // 2:cy + r // 2 + 1])
-        else:
-            img_cr = np.copy(imgdata[cx - r // 2:cx + r // 2,
-                                     cy - r // 2:cy + r // 2])
-        if img_cr.shape[0:2] == (int(r), int(r)) and \
-                not np.isnan(img_cr).any():
-            img_cr_all.append(img_cr[None, ...])
-            com.append(c[None, ...])
-    if len(img_cr_all) == 0:
+    """Subimages centered at coordinates, one frame — a single batched
+    gather (behavior of `atomai/utils/img.py:138-180`: off-edge windows and
+    windows containing NaNs are dropped, input order preserved)."""
+    coord = np.asarray(coord)
+    if len(coord) == 0:
         return None, None
-    return np.concatenate(img_cr_all, axis=0), np.concatenate(com, axis=0)
+    lo, valid = _window_bounds(coord, r, imgdata.shape[:2])
+    if not valid.any():
+        return None, None
+    crops = _gather_windows(imgdata, lo[valid], r)
+    finite = ~np.isnan(crops).reshape(crops.shape[0], -1).any(axis=1)
+    if not finite.any():
+        return None, None
+    return crops[finite], coord[valid][finite]
 
 
 def imcrop_randpx(img: np.ndarray, window_size: int, num_images: int,
                   random_state: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Random-pixel subimages (:183-211)."""
+    """Subimages at unique random in-bounds pixels (:183-211) — drawn in
+    vectorized batches with order-preserving dedup instead of one rng pair
+    per python-loop iteration."""
     rng = np.random.RandomState(random_state)
-    list_xy = set()
-    com_x, com_y = [], []
-    while len(list_xy) < num_images:
-        x = rng.randint(window_size // 2 + 1,
-                        img.shape[0] - window_size // 2 - 1)
-        y = rng.randint(window_size // 2 + 1,
-                        img.shape[1] - window_size // 2 - 1)
-        if (x, y) not in list_xy:
-            com_x.append(x)
-            com_y.append(y)
-            list_xy.add((x, y))
-    com_xy = np.stack([np.array(com_x), np.array(com_y)], axis=1)
-    return get_imgstack(img, com_xy, window_size)
+    x_lo, x_hi = window_size // 2 + 1, img.shape[0] - window_size // 2 - 1
+    y_lo, y_hi = window_size // 2 + 1, img.shape[1] - window_size // 2 - 1
+    chosen = np.empty((0, 2), np.int64)
+    while len(chosen) < num_images:
+        draw = max(num_images - len(chosen), 16) * 2
+        xy = np.stack([rng.randint(x_lo, x_hi, draw),
+                       rng.randint(y_lo, y_hi, draw)], axis=1)
+        pool = np.concatenate([chosen, xy])
+        _, first = np.unique(pool, axis=0, return_index=True)
+        chosen = pool[np.sort(first)]
+    return get_imgstack(img, chosen[:num_images], window_size)
 
 
 def imcrop_randcoord(img: np.ndarray, coord: np.ndarray, window_size: int,
@@ -171,27 +191,38 @@ def extract_subimages(imgdata: np.ndarray,
                       coordinates: Union[Dict, np.ndarray],
                       window_size: int, coord_class: int = 0
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Subimages at located atoms (:298-350)."""
+    """Subimages at located atoms for a whole stack (behavior of
+    `atomai/utils/img.py:298-350`) as ONE batched gather over all
+    (frame, atom) pairs — frame order then per-frame coordinate order, the
+    same edge rule as :func:`get_imgstack`."""
     if isinstance(coordinates, np.ndarray):
         coordinates = np.concatenate(
             (coordinates, np.zeros((coordinates.shape[0], 1))), axis=-1)
         coordinates = {0: coordinates}
     if np.ndim(imgdata) == 2:
         imgdata = imgdata[None, ..., None]
-    subimages_all, com_all, frames_all = [], [], []
-    for i, (img, coord) in enumerate(zip(imgdata, coordinates.values())):
-        coord_i = coord[np.where(coord[:, 2] == coord_class)][:, :2]
-        stack_i, com_i = get_imgstack(img, coord_i, window_size)
-        if stack_i is None:
-            continue
-        subimages_all.append(stack_i)
-        com_all.append(com_i)
-        frames_all.append(np.ones(len(com_i), int) * i)
-    if len(subimages_all) > 0:
-        subimages_all = np.concatenate(subimages_all, axis=0)
-        com_all = np.concatenate(com_all, axis=0)
-        frames_all = np.concatenate(frames_all, axis=0)
-    return subimages_all, com_all, frames_all
+    coord_sel, frame_sel = [], []
+    for i, coord in enumerate(coordinates.values()):
+        coord_i = coord[coord[:, 2] == coord_class][:, :2]
+        coord_sel.append(coord_i)
+        frame_sel.append(np.full(len(coord_i), i, np.int64))
+    if not coord_sel:
+        return [], [], []
+    coord_all = np.concatenate(coord_sel)
+    frame_all = np.concatenate(frame_sel)
+    if len(coord_all) == 0:
+        return [], [], []
+    r = window_size
+    lo, valid = _window_bounds(coord_all, r, imgdata.shape[1:3])
+    if not valid.any():
+        return [], [], []
+    lo, frames, coms = lo[valid], frame_all[valid], coord_all[valid]
+    rows = lo[:, 0, None] + np.arange(r)
+    cols = lo[:, 1, None] + np.arange(r)
+    subimages = imgdata[frames[:, None, None], rows[:, :, None],
+                        cols[:, None, :]]
+    finite = ~np.isnan(subimages).reshape(len(subimages), -1).any(axis=1)
+    return subimages[finite], coms[finite], frames[finite]
 
 
 def extract_patches_2d(image: np.ndarray, patch_size: Tuple[int, int],
@@ -254,20 +285,23 @@ def extract_patches_and_spectra(hdata: np.ndarray, *args: np.ndarray,
         if img.ndim != 2:
             raise ValueError("Image data must be 2D")
     else:
+        # structural image = mean over the selected energy band(s); a
+        # scalar band means "that single slice" and, for 4D data, a 2-list
+        # applies to both energy axes (reference kwarg contract,
+        # `atomai/utils/img.py:392-452`)
         band = kwargs.get("band", 0)
-        if hdata.ndim == 3:
-            if isinstance(band, int):
-                band = [band, band + 1]
-            img = hdata[..., band[0]:band[1]].mean(-1)
-        else:
-            if isinstance(band, int):
-                band = [band, band + 1, band, band + 1]
-            elif isinstance(band, list) and len(band) == 2:
-                band = [*band, *band]
-            img = hdata[..., band[0]:band[1], band[2]:band[3]].mean((-2, -1))
+        n_axes = hdata.ndim - 2
+        if isinstance(band, int):
+            band = [band, band + 1] * n_axes
+        elif len(band) == 2 and n_axes == 2:
+            band = [*band, *band]
+        sel = (Ellipsis,) + tuple(slice(band[2 * i], band[2 * i + 1])
+                                  for i in range(n_axes))
+        img = hdata[sel].mean(tuple(range(-n_axes, 0)))
     patches, coords, _ = extract_subimages(img, coordinates, window_size)
     patches = patches.squeeze()
-    spectra = np.array([hdata[int(c[0]), int(c[1])] for c in coords])
+    cij = np.asarray(coords).astype(np.int64)
+    spectra = np.asarray(hdata)[cij[:, 0], cij[:, 1]]
     if hdata.ndim == 3:
         k = avg_pool
         n = (spectra.shape[-1] // k) * k

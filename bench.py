@@ -48,10 +48,17 @@ REF_IMSPEC_SEC_PER_CYCLE = 1.742
 # the unit.
 REF_SEG512_AUG_SEC_PER_CYCLE = 25.48
 # Config E: the reference's gpytorch DKL-GP cannot run in this container
-# (gpytorch is not installed; only an import shim exists) -> absolute only.
+# (gpytorch is not installed; only an import shim exists). Baseline is a
+# DOCUMENTED torch-CPU equivalent of the reference training cycle
+# (`/root/reference/atomai/trainers/gptrainer.py:126-137`): MLP feature
+# extractor (64-1000-500-50-2) -> ScaleToBounds -> exact RBF-ARD kernel ->
+# Cholesky MLL -> backward -> Adam, N=10000 float32. Measured by
+# scripts/measure_ref_gp_cpu.py (3 cycles after warmup; see BASELINE.md).
+REF_DKLGP_SEC_PER_CYCLE = None  # filled from measurement below
 
-# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip.
+# TPU v5e (v5 lite) peaks: 197 TFLOP/s bf16, 819 GB/s HBM per chip.
 PEAK_FLOPS = 197e12
+PEAK_HBM_BPS = 819e9
 
 
 def main():
@@ -105,13 +112,20 @@ def main():
         rvae.train_epoch()
     t_rvae = time.time() - t0
     rvae_steps_per_sec = n_epochs * n_steps_per_epoch / t_rvae
+    rvae_epoch_bytes = rvae.epoch_bytes_accessed()
+    rvae_hbm_gbps = (rvae_epoch_bytes * n_epochs / t_rvae / 1e9
+                     if rvae_epoch_bytes else None)
 
-    # --- MFU on config A's training loop (XLA cost analysis; the chunk
-    # is already compiled, so this hits the jit cache) -----------------
+    # --- MFU + bandwidth roofline on config A's training loop ---------
     flops_per_cycle = m.train_flops_per_cycle()
     mfu = None
     if flops_per_cycle:
         mfu = flops_per_cycle * CYCLES / t_train / PEAK_FLOPS
+    bytes_per_cycle = m.train_bytes_per_cycle()
+    hbm_gbps_a = hbm_util_a = None
+    if bytes_per_cycle:
+        hbm_gbps_a = bytes_per_cycle * CYCLES / t_train / 1e9
+        hbm_util_a = hbm_gbps_a * 1e9 / PEAK_HBM_BPS
 
     # --- config B: ImSpec im2spec 64x64 -> 16-point spectra -----------
     rng = np.random.RandomState(0)
@@ -153,6 +167,24 @@ def main():
     ens_img_per_s = CYC_D * BATCH_D * NMOD_D / t_ens
     ref_ens_img_per_s = BATCH_D / REF_SEG512_AUG_SEC_PER_CYCLE
     ens_vs = ens_img_per_s / ref_ens_img_per_s
+    ens_hbm_gbps = None
+    probe = getattr(et, "_engine_probe", None)
+    if probe is not None:
+        from atomai_tpu.core.profiling import compiled_bytes_accessed
+        ens_bytes = compiled_bytes_accessed(probe[0], *probe[1])
+        if ens_bytes:
+            ens_hbm_gbps = ens_bytes / t_ens / 1e9
+
+    # --- many-frame Locator: 64 x 512^2 stack, one tiled device program
+    from atomai_tpu.predictors import Locator
+    prob64 = np.concatenate([masks512, masks512])[..., None].astype(
+        np.float32) * 0.98 + 0.01
+    loc = Locator(threshold=0.5, dist_edge=5)
+    n_atoms_64 = sum(len(v) for v in loc.run(prob64).values())  # warm
+    t0 = time.time()
+    out64 = loc.run(prob64)
+    t_loc64 = time.time() - t0
+    assert sum(len(v) for v in out64.values()) == n_atoms_64
 
     # --- config E: dklGPR, exact covariance + Cholesky on 10k x 64 ----
     Xg = rng.randn(10000, 64).astype(np.float32)
@@ -194,13 +226,26 @@ def main():
             "rvae_elbo_steps_per_sec": round(rvae_steps_per_sec, 2),
             "rvae_vs_baseline": round(
                 rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
+            "rvae_hbm_gbps": round(rvae_hbm_gbps, 1)
+            if rvae_hbm_gbps else None,
+            "rvae_dispatch": (
+                "single-chip (1 visible device; on a multi-chip host the "
+                "viBaseTrainer epoch auto-shards batches over the mesh "
+                "data axis — parity-tested on the virtual 8-CPU mesh)"
+                if rvae.mesh is None else f"mesh {rvae.mesh.shape}"),
             "mfu_config_a": round(mfu, 4) if mfu else None,
             "flops_per_cycle": flops_per_cycle,
+            "bytes_per_cycle": bytes_per_cycle,
+            "hbm_gbps_config_a": round(hbm_gbps_a, 1)
+            if hbm_gbps_a else None,
+            "hbm_util_config_a": round(hbm_util_a, 3)
+            if hbm_util_a else None,
             "mfu_note": (
-                "analytic conv+dot FLOPs (fwd+bwd) / wall / 197 TF bf16 "
-                "peak; config A's 16-filter UNet with train-mode BN is "
-                "HBM-bandwidth-bound at batch 32, so single-digit MFU is "
-                "the roofline-consistent regime, not an MXU stall"),
+                "MFU = analytic conv+dot FLOPs (fwd+bwd, jaxpr walk) / "
+                "wall / 197 TF bf16 peak. Bandwidth roofline: bytes = "
+                "XLA post-fusion cost_analysis 'bytes accessed' of the "
+                "compiled train chunk; hbm_util = achieved GB/s / 819 "
+                "GB/s v5e HBM peak"),
             "imspec_cycles_per_sec": round(imspec_cps, 2),
             "imspec_vs_baseline": round(imspec_vs, 1),
             "ensemble_aug_512_images_per_sec": round(ens_img_per_s, 2),
@@ -211,10 +256,24 @@ def main():
                 "paid by the preceding warm call); reference = sequential "
                 f"members at {REF_SEG512_AUG_SEC_PER_CYCLE} s/cycle/member "
                 "(measured)"),
+            "ensemble_aug_512_hbm_gbps": round(ens_hbm_gbps, 1)
+            if ens_hbm_gbps else None,
+            "locator_64x512_s": round(t_loc64, 3),
+            "locator_64x512_note": (
+                f"{len(out64)} frames, {n_atoms_64} atoms total, single "
+                "tiled device program (blob_centers_tiled), steady "
+                "state"),
             "dklgpr_10k_sec_per_cycle": round(t_gp_cycle, 3),
+            "dklgpr_10k_vs_baseline": round(
+                REF_DKLGP_SEC_PER_CYCLE / t_gp_cycle, 1)
+            if REF_DKLGP_SEC_PER_CYCLE else None,
             "dklgpr_10k_note": (
-                "exact 10k Cholesky + MLL grad, steady state; reference "
-                "gpytorch unavailable in container (no vs_baseline)"),
+                "exact 10k Cholesky + MLL grad, steady state, "
+                "fetch-forced; reference = torch-CPU equivalent of "
+                "gpytorch exact-MLL cycle "
+                f"({REF_DKLGP_SEC_PER_CYCLE} s/cycle, "
+                "scripts/measure_ref_gp_cpu.py — gpytorch itself "
+                "unavailable in container)"),
         },
     }))
 

@@ -7,7 +7,8 @@ from scipy import ndimage
 
 import jax.numpy as jnp
 
-from atomai_tpu.ops.cc_label import blob_centers, blob_centers_stack
+from atomai_tpu.ops.cc_label import (blob_centers, blob_centers_stack,
+                                     blob_centers_tiled)
 
 
 def _scipy_com(mask):
@@ -53,6 +54,40 @@ def test_blob_centers_stack_batched():
         got = np.asarray(coords[i])[np.asarray(valid[i])]
         assert len(got) == len(expected)
         np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_blob_centers_tiled_matches_per_frame():
+    """Many-frame single-program path: identical blobs (frame-major,
+    raster order) to the per-frame dispatch loop, incl. blobs touching the
+    frame's bottom edge (adjacent to the separator row)."""
+    rng = np.random.RandomState(7)
+    masks = (rng.rand(16, 24, 24) > 0.9).astype(np.float32)
+    masks[:, -1, ::3] = 1.0          # blobs on the tiled seam
+    coords_t, frames_t, sizes_t, valid_t = blob_centers_tiled(
+        jnp.asarray(masks), 1024)
+    coords_t = np.asarray(coords_t)
+    frames_t = np.asarray(frames_t)
+    valid_t = np.asarray(valid_t)
+    for i in range(16):
+        expected = _scipy_com(masks[i])
+        got = coords_t[(frames_t == i) & valid_t]
+        assert len(got) == len(expected), i
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_locator_many_frames_matches_few():
+    """Locator's tiled (>8 masks) and per-frame (<=8) paths must agree."""
+    from atomai_tpu.predictors import Locator
+
+    rng = np.random.RandomState(1)
+    prob = rng.rand(10, 32, 32, 1).astype(np.float32)
+    loc = Locator(threshold=0.9, dist_edge=2)
+    out_tiled = loc.run(prob)                  # 10 masks -> tiled path
+    out_frame = {}
+    for i in range(10):
+        out_frame[i] = loc.run(prob[i:i + 1])[0]   # 1 mask -> per-frame
+    for i in range(10):
+        np.testing.assert_allclose(out_tiled[i], out_frame[i], atol=1e-4)
 
 
 def test_snake_blob():

@@ -138,9 +138,13 @@ class TestEngineParity:
             t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1],
                           seed=7)
             t.engine = engine
+            # mesh=False: this test pins BITWISE scan/loop parity, which
+            # holds per compiled program; the auto-DP mesh gives the two
+            # engines different cross-device reduction orders (sharded
+            # parity is asserted with tolerance in test_multidevice.py)
             t.fit(X, y, Xt, yt, training_cycles=6, batch_size=4,
                   full_epoch=full_epoch, swa=True, print_loss=3,
-                  filename="/tmp/aoi_engpar")
+                  filename="/tmp/aoi_engpar", mesh=False)
             histories.append(np.asarray(t.loss_acc["train_loss"]))
             final.append(t.params)
         np.testing.assert_allclose(histories[0], histories[1],
