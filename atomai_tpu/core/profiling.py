@@ -83,6 +83,13 @@ def compiled_bytes_accessed(jitted_fn, *args) -> Optional[float]:
     (Unlike its FLOP counter, XLA's bytes accounting covers the TPU conv
     custom calls — their operand/result bytes are first-class.)
 
+    CAVEAT (measured, see scripts/rvae_roofline_experiment.py): XLA
+    counts a ``while``/``scan`` BODY roughly once, NOT multiplied by the
+    trip count — for a program that scans N steps the returned value
+    approximates the bytes of ONE step. Callers must scale by their own
+    trip counts (`BaseTrainer.train_bytes_per_cycle`,
+    `viBaseTrainer.epoch_bytes_accessed` do).
+
     Returns None where cost analysis is unavailable (e.g. some remote
     backends)."""
     try:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blocks import ConvBlock, DilatedBlock
+from .blocks import ConvBlock, DilatedBlock, _cdtype
 
 
 def _as_channel_last(x, ndim_signal: int):
@@ -81,7 +81,7 @@ class SignalDecoder(nn.Module):
         ndim = len(sdim)
         work_dim = tuple(s // 4 for s in sdim) if self.upsampling else sdim
         n = int(np.prod(work_dim))
-        x = nn.Dense(self.nb_filters * n)(z)
+        x = nn.Dense(self.nb_filters * n, dtype=_cdtype())(z)
         x = x.reshape((-1,) + work_dim + (self.nb_filters,))
         if self.upsampling:
             for _ in range(2):
@@ -146,8 +146,10 @@ class fcEncoderNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.reshape(x.shape[0], -1)
+        # hidden layers in the policy compute dtype (bf16 on TPU; heads
+        # stay f32 so z_mu/z_logstd keep full precision)
         for _ in range(self.num_layers):
-            x = jnp.tanh(nn.Dense(self.hidden_dim)(x))
+            x = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype())(x))
         z_mu = nn.Dense(self.latent_dim)(x)
         z_logstd = nn.Dense(self.latent_dim)(x)
         if self.softplus_out:
@@ -191,8 +193,10 @@ class jfcEncoderNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.reshape(x.shape[0], -1)
+        # hidden layers in the policy compute dtype (bf16 on TPU; heads
+        # stay f32 so z_mu/z_logstd keep full precision)
         for _ in range(self.num_layers):
-            x = jnp.tanh(nn.Dense(self.hidden_dim)(x))
+            x = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype())(x))
         z_mu = nn.Dense(self.latent_dim)(x)
         z_logstd = nn.Dense(self.latent_dim)(x)
         if self.softplus_out:
@@ -249,8 +253,10 @@ class fcDecoderNet(nn.Module):
     def __call__(self, z, train: bool = False):
         c = self.out_dim[-1] if len(self.out_dim) > 2 else 1
         h = z
+        # hidden layers in the compute dtype; the reconstruction head
+        # stays f32 (it feeds the sum-reduced ELBO)
         for _ in range(self.num_layers):
-            h = jnp.tanh(nn.Dense(self.hidden_dim)(h))
+            h = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype())(h))
         h = nn.Dense(int(np.prod(self.out_dim)))(h)
         h = h.reshape((-1,) + tuple(self.out_dim[:2]) + (c,)) \
             if len(self.out_dim) > 1 else h.reshape((-1, self.out_dim[0], c))
@@ -272,7 +278,7 @@ class convDecoderNet(nn.Module):
         spatial = tuple(self.out_dim[:2]) if ndim == 2 \
             else (self.out_dim[0],)
         h = nn.Dense(self.hidden_dim * int(np.prod(spatial)),
-                     use_bias=False)(z)
+                     use_bias=False, dtype=_cdtype())(z)
         h = h.reshape((-1,) + spatial + (self.hidden_dim,))
         h = ConvBlock(ndim, self.num_layers, self.hidden_dim,
                       lrelu_a=self.lrelu_a)(h, train)
@@ -292,8 +298,10 @@ class coord_latent(nn.Module):
 
     @nn.compact
     def __call__(self, x_coord, z):
-        h_x = nn.Dense(self.out_dim)(x_coord)          # (B, n, h)
-        h_z = nn.Dense(self.out_dim, use_bias=False)(z)  # (B, h)
+        h_x = nn.Dense(self.out_dim, dtype=_cdtype())(
+            x_coord)                                     # (B, n, h)
+        h_z = nn.Dense(self.out_dim, use_bias=False,
+                       dtype=_cdtype())(z)               # (B, h)
         h = h_x + h_z[:, None, :]
         if self.activation:
             h = jnp.tanh(h)
@@ -324,11 +332,17 @@ class rDecoderNet(nn.Module):
             # (`ed.py:626-630`), i.e. once per layer.
             residual = h
             for _ in range(self.num_layers):
-                h = jnp.tanh(nn.Dense(self.hidden_dim)(h))
+                h = jnp.tanh(nn.Dense(self.hidden_dim,
+                                      dtype=_cdtype())(h))
                 h = h + residual
         else:
+            # per-pixel MLP in the compute dtype — the measured hot op of
+            # the rVAE step (bandwidth-bound at f32, see
+            # scripts/rvae_roofline_experiment.py); the output head stays
+            # f32 for the ELBO
             for _ in range(self.num_layers):
-                h = jnp.tanh(nn.Dense(self.hidden_dim)(h))
+                h = jnp.tanh(nn.Dense(self.hidden_dim,
+                                      dtype=_cdtype())(h))
         h = nn.Dense(c)(h)
         return h.reshape((batch_dim,) + reshape_)
 

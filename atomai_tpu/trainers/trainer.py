@@ -582,8 +582,18 @@ class BaseTrainer:
         else:
             xs = (es, keys)
         from ..core.profiling import compiled_bytes_accessed
-        total = compiled_bytes_accessed(self._compiled_chunk, carry, xs)
-        return total / chunk if total else None
+        reported = compiled_bytes_accessed(self._compiled_chunk, carry, xs)
+        if not reported:
+            return None
+        # XLA counts the scan body once, not x trip count (see
+        # compiled_bytes_accessed): the chunk scans over cycles, so the
+        # reported figure already approximates ONE cycle. In full-epoch
+        # mode the cycle body itself scans over all batches — scale by
+        # the inner trip counts.
+        if self.full_epoch:
+            reported *= (int(self.Xb_train.shape[0]) +
+                         int(self.Xb_test.shape[0]))
+        return reported
 
     def train_flops_per_cycle(self) -> Optional[float]:
         """Analytic MXU FLOPs (convs + dots, fwd+bwd) for ONE training

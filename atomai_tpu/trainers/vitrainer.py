@@ -372,9 +372,17 @@ class viBaseTrainer:
             self._train_epoch_fn, self._eval_epoch_fn = \
                 self._build_epoch_fns()
         from ..core.profiling import compiled_bytes_accessed
-        return compiled_bytes_accessed(
+        reported = compiled_bytes_accessed(
             self._train_epoch_fn, self.params, self.opt_state,
             self.keys.next(), jnp.int32(0))
+        if not reported:
+            return None
+        # XLA counts the epoch's scan body (one batch step) once, not
+        # x trip count (see compiled_bytes_accessed) — scale by the
+        # number of batches per epoch
+        N = int(self.X_train.shape[0])
+        nb = max(N // min(self.batch_size, N), 1)
+        return reported * nb
 
     def print_statistics(self, e: int) -> None:
         """Per-epoch statistics (reference `vitrainer.py:347-359`)."""

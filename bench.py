@@ -53,8 +53,9 @@ REF_SEG512_AUG_SEC_PER_CYCLE = 25.48
 # (`/root/reference/atomai/trainers/gptrainer.py:126-137`): MLP feature
 # extractor (64-1000-500-50-2) -> ScaleToBounds -> exact RBF-ARD kernel ->
 # Cholesky MLL -> backward -> Adam, N=10000 float32. Measured by
-# scripts/measure_ref_gp_cpu.py (3 cycles after warmup; see BASELINE.md).
-REF_DKLGP_SEC_PER_CYCLE = None  # filled from measurement below
+# scripts/measure_ref_gp_cpu.py (2026-08-17, mean of 3 cycles after one
+# warmup cycle, single torch CPU thread; see BASELINE.md).
+REF_DKLGP_SEC_PER_CYCLE = 122.65
 
 # TPU v5e (v5 lite) peaks: 197 TFLOP/s bf16, 819 GB/s HBM per chip.
 PEAK_FLOPS = 197e12
@@ -171,9 +172,11 @@ def main():
     probe = getattr(et, "_engine_probe", None)
     if probe is not None:
         from atomai_tpu.core.profiling import compiled_bytes_accessed
+        # XLA counts the scan body (one all-members cycle) once — scale
+        # by the cycle count (see compiled_bytes_accessed caveat)
         ens_bytes = compiled_bytes_accessed(probe[0], *probe[1])
         if ens_bytes:
-            ens_hbm_gbps = ens_bytes / t_ens / 1e9
+            ens_hbm_gbps = ens_bytes * CYC_D / t_ens / 1e9
 
     # --- many-frame Locator: 64 x 512^2 stack, one tiled device program
     from atomai_tpu.predictors import Locator

@@ -19,10 +19,13 @@ Run:  python examples/imspec_notebook.py        (CI-light)
 """
 
 import os
+import sys
 
 import numpy as np
 
-import atomai_tpu as aoi
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+import atomai_tpu as aoi  # noqa: E402
 
 FULL = bool(int(os.environ.get("IMSPEC_FULL", "0")))
 CYCLES = 300 if FULL else 30
@@ -62,7 +65,8 @@ def main():
 
     # -- 3. train/test split -------------------------------------------
     imgs_train, spectra_train, imgs_test, spectra_test = \
-        aoi.utils.data_split(imgs, spectra, test_size=0.15, seed=1)
+        aoi.utils.data_split(imgs, spectra, test_size=0.15,
+                             random_state=1)
 
     # -- 4. initialize + train (notebook: latent_dim=10, lr 1e-4 Adam) -
     model = aoi.models.ImSpec(IN_DIM, OUT_DIM, latent_dim=10,

@@ -17,10 +17,13 @@ Run:  python examples/rvae_graphene_notebook.py        (CI-light)
 """
 
 import os
+import sys
 
 import numpy as np
 
-import atomai_tpu as aoi
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+import atomai_tpu as aoi  # noqa: E402
 
 FULL = bool(int(os.environ.get("RVAE_FULL", "0")))
 CYCLES = 100 if FULL else 20
@@ -47,10 +50,11 @@ def main():
 
     # -- 3. GMM on the raw stack (the notebook shows this fails to find
     #       chemically meaningful classes because of rotational variance)
-    gmm_components, gmm_classes, _ = s.gmm(n_components=4,
-                                           random_state=42)
+    gmm_components, _, com_frames = s.gmm(n_components=4,
+                                          random_state=42)
+    gmm_classes = com_frames[:, -2].astype(int)   # 1-based class labels
     print("GMM components:", gmm_components.shape,
-          "| class counts:", np.bincount(gmm_classes.astype(int))[1:])
+          "| class counts:", np.bincount(gmm_classes)[1:])
 
     # -- 4. standard VAE ----------------------------------------------
     imstack = s.imgstack[..., 0]

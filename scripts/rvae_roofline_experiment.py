@@ -41,12 +41,18 @@ def fetch(x):
     np.asarray(x)  # tunnel-honest sync (block_until_ready is a no-op)
 
 
-def timeit(fn, *args, reps=30):
-    fetch(fn(*args))  # warm/compile
+def timeit(fn, params, phi, dx, z, reps=30):
+    """The tunnel MEMOIZES identical dispatches — vary phi every rep so
+    each call is genuinely executed, and end with a value fetch
+    (block_until_ready is a wall-clock no-op on this backend)."""
+    fetch(jax.tree.leaves(fn(params, phi, dx, z))[0])  # warm/compile
+    phis = [phi + 1e-6 * i for i in range(reps)]
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    fetch(out)
+    for p in phis:
+        out = fn(params, p, dx, z)
+    # programs execute in dispatch order on the single chip, so one value
+    # fetch of the final output waits for the whole chain
+    fetch(jax.tree.leaves(out)[0])
     return (time.time() - t0) / reps
 
 
