@@ -107,8 +107,9 @@ def main():
     rvae.fit(P, training_cycles=2, batch_size=128, verbose=False,
              filename="/tmp/bench_rvae")  # compile + warm
     n_steps_per_epoch = len(P) // 128
+    rvae.train_epoch()  # extra warm epoch outside the timed window
     t0 = time.time()
-    n_epochs = 10
+    n_epochs = 20  # enough epochs to amortize tunnel-latency variance
     for _ in range(n_epochs):
         rvae.train_epoch()
     t_rvae = time.time() - t0

@@ -170,3 +170,51 @@ def test_resize_downsample_matches_torch_bicubic():
                             align_corners=False,
                             antialias=True).numpy()[0, 0]
     assert np.abs(ours - ref).max() < 0.03
+
+
+def test_get_imgstack_matches_slice_loop_oracle():
+    """Vectorized batched gather must reproduce the reference's per-atom
+    slice loop exactly (`atomai/utils/img.py:138-180`), including the
+    edge rule for odd/even windows and NaN rejection."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(40, 37).astype(np.float32)
+    img[10, 11] = np.nan
+    coord = np.stack([rng.uniform(-2, 42, 200),
+                      rng.uniform(-2, 39, 200)], axis=1)
+    for r in (5, 6):
+        crops, kept = get_imgstack(img, coord, r)
+        # oracle: literal python slicing per coordinate
+        exp_crops, exp_kept = [], []
+        for c in coord:
+            cx, cy = int(np.around(c[0])), int(np.around(c[1]))
+            if r % 2:
+                w = img[cx - r // 2:cx + r // 2 + 1,
+                        cy - r // 2:cy + r // 2 + 1]
+            else:
+                w = img[cx - r // 2:cx + r // 2, cy - r // 2:cy + r // 2]
+            if w.shape == (r, r) and not np.isnan(w).any():
+                exp_crops.append(w)
+                exp_kept.append(c)
+        assert len(kept) == len(exp_kept)
+        np.testing.assert_array_equal(crops, np.stack(exp_crops))
+        np.testing.assert_array_equal(kept, np.stack(exp_kept))
+
+
+def test_get_intensities_clipped_window_means():
+    """Summed-area-table intensities equal naive clipped-window means for
+    interior AND off-edge atoms."""
+    from atomai_tpu.utils.coords import get_intensities_
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(30, 33)
+    coord = np.stack([rng.uniform(0, 30, 100),
+                      rng.uniform(0, 33, 100)], axis=1)
+    for r in (3, 4):
+        got = get_intensities_(coord, img, r)
+        for k, c in enumerate(coord):
+            cx, cy = int(np.around(c[0])), int(np.around(c[1]))
+            x0, x1 = max(cx - r // 2, 0), min(cx - r // 2 + r, 30)
+            y0, y1 = max(cy - r // 2, 0), min(cy - r // 2 + r, 33)
+            expected = img[x0:x1, y0:y1].mean() \
+                if x1 > x0 and y1 > y0 else 0.0
+            np.testing.assert_allclose(got[k], expected, rtol=1e-10)
