@@ -423,11 +423,15 @@ class Locator:
                               - 1).bit_length()
             coords_t, frames_t, _, valid_t = blob_centers_tiled(
                 jnp.asarray(masks), max_total)
-            coords_t = np.asarray(coords_t)
-            frames_t = np.asarray(frames_t)
-            valid_t = np.asarray(valid_t)
-            per_mask = [coords_t[(frames_t == k) & valid_t]
-                        for k in range(n_masks)]
+            # valid blobs are a PREFIX of the nonzero-extracted arrays
+            # (fill indices go last), so fetch the count then slice on
+            # device: the exact-safe max_total bound is sized by total
+            # foreground pixels (megabytes), the real blob set is tiny —
+            # never ship the padding over the tunnel
+            n_blobs = int(valid_t.sum())
+            coords_t = np.asarray(coords_t[:n_blobs])
+            frames_t = np.asarray(frames_t[:n_blobs])
+            per_mask = [coords_t[frames_t == k] for k in range(n_masks)]
         else:
             max_count = int(masks.sum(axis=(1, 2)).max()) + 1
             max_blobs = 1 << (max(8, min(max_count, h * w))
