@@ -297,11 +297,20 @@ class coord_latent(nn.Module):
     activation: bool = False
 
     @nn.compact
-    def __call__(self, x_coord, z):
-        h_x = nn.Dense(self.out_dim, dtype=_cdtype())(
-            x_coord)                                     # (B, n, h)
-        h_z = nn.Dense(self.out_dim, use_bias=False,
-                       dtype=_cdtype())(z)               # (B, h)
+    def __call__(self, x_coord, z, return_params: bool = False):
+        d_x = nn.Dense(self.out_dim, dtype=_cdtype())
+        d_z = nn.Dense(self.out_dim, use_bias=False, dtype=_cdtype())
+        if return_params:
+            # instantiate params on zero-row inputs and hand the raw
+            # arrays to the fused Pallas path (same names/structure as
+            # the XLA path — checkpoints are interchangeable)
+            _ = d_x(jnp.zeros((0, 0, 2), x_coord.dtype))
+            _ = d_z(jnp.zeros((0, z.shape[-1]), z.dtype))
+            return (d_x.variables["params"]["kernel"],
+                    d_x.variables["params"]["bias"],
+                    d_z.variables["params"]["kernel"])
+        h_x = d_x(x_coord)                               # (B, n, h)
+        h_z = d_z(z)                                     # (B, h)
         h = h_x + h_z[:, None, :]
         if self.activation:
             h = jnp.tanh(h)
@@ -325,7 +334,43 @@ class rDecoderNet(nn.Module):
             c = self.out_dim[-1]
             reshape_ = (self.out_dim[0], self.out_dim[1], c)
         batch_dim = x_coord.shape[0]
-        h = coord_latent(self.hidden_dim, not self.skip)(x_coord, z)
+        n_pix = x_coord.shape[1]
+        cl = coord_latent(self.hidden_dim, not self.skip)
+        from ..ops.pallas_mlp import mlp_shapes_supported
+        if (not self.skip and c == 1
+                and mlp_shapes_supported(n_pix, self.hidden_dim)):
+            # fused Pallas path: the whole tanh-MLP chain runs per
+            # row-block in VMEM (one HBM write of y instead of one per
+            # layer; backward recomputes activations in VMEM). Params are
+            # the SAME flax Dense modules as the XLA branch below — only
+            # the compute is rerouted.
+            from ..ops.pallas_mlp import pad_rows, spatial_mlp
+            Wc, bc, Wz = cl(x_coord, z, return_params=True)
+            Ws, bs = [], []
+            for _ in range(self.num_layers):
+                d = nn.Dense(self.hidden_dim, dtype=_cdtype())
+                _ = d(jnp.zeros((0, self.hidden_dim)))
+                Ws.append(d.variables["params"]["kernel"])
+                bs.append(d.variables["params"]["bias"])
+            d_out = nn.Dense(c)
+            _ = d_out(jnp.zeros((0, self.hidden_dim)))
+            Wo = d_out.variables["params"]["kernel"]
+            bo = d_out.variables["params"]["bias"]
+            zb = z.astype(jnp.float32) @ Wz.astype(jnp.float32)
+            xT = x_coord.astype(jnp.float32).swapaxes(1, 2)  # (B, 2, n)
+            n_pad = pad_rows(n_pix)
+            if n_pad != n_pix:
+                xT = jnp.pad(xT, ((0, 0), (0, 0), (0, n_pad - n_pix)))
+            y = spatial_mlp(
+                xT, zb, Wc.astype(jnp.float32),
+                bc.astype(jnp.float32)[None],
+                jnp.stack(Ws).astype(jnp.float32),
+                jnp.stack(bs).astype(jnp.float32),
+                Wo.astype(jnp.float32),
+                bo.astype(jnp.float32)[None])
+            h = y[:, 0, :n_pix]
+            return h.reshape((batch_dim,) + reshape_)
+        h = cl(x_coord, z)
         if self.skip:
             # residual added after every Dense+tanh pair: the reference
             # iterates [Linear, Tanh]*L and adds at every even module index

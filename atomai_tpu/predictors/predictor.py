@@ -59,11 +59,8 @@ class BasePredictor:
         # pure-DP mesh on multi-device hosts; mesh=False disables; or
         # pass a jax.sharding.Mesh. The reference chunks on one device
         # (`predictor.py:82-106`).
-        mesh = kwargs.get("mesh", None)
-        if mesh is None and jax.device_count() > 1:
-            from ..core.mesh import get_mesh
-            mesh = get_mesh(n_data=jax.device_count(), n_model=1)
-        self.mesh = mesh or None
+        from ..core.mesh import resolve_data_mesh
+        self.mesh = resolve_data_mesh(kwargs.get("mesh", None))
         if self.mesh is not None and self.params is not None:
             # re-place variables onto THIS mesh: params trained under a
             # different mesh (e.g. an auto-DP mesh sized to the training
