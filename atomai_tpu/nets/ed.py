@@ -16,8 +16,7 @@ Data layout: images (N, H, W) or (N, H, W, C); spectra (N, L); internally
 channel-last everywhere.
 """
 
-import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
