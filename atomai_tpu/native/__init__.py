@@ -18,16 +18,22 @@ _lib = None
 _build_failed = False
 
 
+def compile_lib(src_path: str, lib_path: str) -> ctypes.CDLL:
+    """g++-compiles ``src_path`` into a shared object (skipped when the
+    cached .so is newer than the source) and dlopens it."""
+    if (not os.path.exists(lib_path) or
+            os.path.getmtime(lib_path) < os.path.getmtime(src_path)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             src_path, "-o", lib_path],
+            check=True, capture_output=True)
+    return ctypes.CDLL(lib_path)
+
+
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     try:
-        if (not os.path.exists(_LIB_PATH) or
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 _SRC_PATH, "-o", _LIB_PATH],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = compile_lib(_SRC_PATH, _LIB_PATH)
         lib.find_rings_native.restype = ctypes.c_int
         lib.find_rings_native.argtypes = [
             ctypes.c_int,

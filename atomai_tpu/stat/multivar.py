@@ -15,7 +15,6 @@ import copy
 from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
-from scipy import spatial
 
 from ..utils import extract_subimages, get_intensities
 from ..utils.coords import chain_tracks

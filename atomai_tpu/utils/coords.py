@@ -11,8 +11,9 @@ Parity map into `atomai/utils/coords.py`:
   DBSCAN (:304-347), find_coord_clusters (:350-400), subimg_trajectories
   (:403-472), map_bonds (:475-515), remove_edge_coord (:518-537),
   get_lengthscale_constraints (:540-543), get_intensities (:234-263): host
-  analytics (ragged outputs), scipy cKDTree / sklearn DBSCAN as in the
-  reference.
+  analytics (ragged outputs). Where the reference queries scipy cKDTree /
+  sklearn DBSCAN, these route through the native grid-hash engine
+  (`atomai_tpu/native/neighbors.py`, scipy/sklearn fallback built in).
 """
 
 import warnings
@@ -20,8 +21,8 @@ from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
-from scipy import spatial
 
+from ..native import neighbors
 from ..ops.cc_label import blob_centers
 from ..ops.peakfit import refine_peaks
 
@@ -84,14 +85,10 @@ def get_nn_distances_(coordinates: np.ndarray, nn: int = 2,
                       upper_bound: Optional[float] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Nearest-neighbor distances for one frame (:86-112)."""
-    upper_bound = np.inf if upper_bound is None else upper_bound
-    tree = spatial.cKDTree(coordinates[:, :2])
-    d, nn_idx = tree.query(coordinates[:, :2], k=nn + 1,
-                           distance_upper_bound=upper_bound)
-    idx_to_del = np.where(d == np.inf)[0]
-    nn_idx = np.delete(nn_idx, idx_to_del, axis=0)
-    d = np.delete(d, idx_to_del, axis=0)
-    return d[:, 1:], coordinates[nn_idx]
+    d, nn_idx = neighbors.knn(coordinates[:, :2], coordinates[:, :2],
+                              nn + 1, upper_bound)
+    hit = ~np.isinf(d).any(axis=1)  # atoms with all nn within the bound
+    return d[hit, 1:], coordinates[nn_idx[hit]]
 
 
 def get_nn_distances(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
@@ -190,7 +187,8 @@ def compare_coordinates(coordinates1: np.ndarray, coordinates2: np.ndarray,
     `coords.py:266-301`, vectorized to one KD-tree query)."""
     coordinates1 = np.asarray(coordinates1, float)
     coordinates2 = np.asarray(coordinates2, float)
-    dist, idx = spatial.cKDTree(coordinates2).query(coordinates1)
+    dist, idx = neighbors.knn(coordinates2, coordinates1, 1)
+    dist, idx = dist[:, 0], idx[:, 0]
     keep = dist < d_max
     coordinates1_ = coordinates1[keep]
     coordinates2_ = coordinates2[idx[keep]]
@@ -230,8 +228,8 @@ def chain_tracks(coord_class_dict: Dict[int, np.ndarray],
         if len(c) == 0:
             continue
         width = c.shape[-1]
-        d, idx = spatial.cKDTree(c[:, :2]).query(
-            cur, distance_upper_bound=rmax)
+        d, idx = neighbors.knn(c[:, :2], cur, 1, rmax)
+        d, idx = d[:, 0], idx[:, 0]
         for i in np.nonzero(np.isfinite(d))[0]:
             row = c[idx[i]]
             if on_match is None or on_match(int(i), k, row):
@@ -245,14 +243,9 @@ def chain_tracks(coord_class_dict: Dict[int, np.ndarray],
 def cluster_coord(coord_class_dict: Dict[int, np.ndarray], eps: float,
                   min_samples: int = 10) -> Tuple[np.ndarray, ...]:
     """Collapse stack coordinates onto xy plane + DBSCAN (:304-347)."""
-    from sklearn import cluster as _cluster
-    coordinates_all = np.empty((0, 3))
-    for k in range(len(coord_class_dict)):
-        coordinates_all = np.append(coordinates_all, coord_class_dict[k],
-                                    axis=0)
-    clustering = _cluster.DBSCAN(
-        eps=eps, min_samples=min_samples).fit(coordinates_all[:, :2])
-    labels = clustering.labels_
+    coordinates_all = np.concatenate(
+        [coord_class_dict[k] for k in range(len(coord_class_dict))])
+    labels = neighbors.dbscan(coordinates_all[:, :2], eps, min_samples)
     clusters, clusters_var, clusters_mean = [], [], []
     # deviation from `coords.py:337`: the reference drops the first unique
     # label unconditionally (assuming it is the -1 noise label); when no
@@ -276,11 +269,11 @@ def find_coord_clusters(coord_class_dict_1: Dict[int, np.ndarray],
     centers = np.asarray(coord_class_dict_1[0])[:, :2]
     # one vectorized ball query for every center at once (the reference
     # runs a full k-NN query per center, `atomai/utils/coords.py:350-400`)
-    tree = spatial.cKDTree(coordinates_all[:, :2])
-    neighbor_idx = tree.query_ball_point(centers, r=rmax)
+    neighbor_idx = neighbors.ball_query(coordinates_all[:, :2], centers,
+                                        rmax)
     clusters, clusters_mean, clusters_std = [], [], []
     for idx in neighbor_idx:
-        cl = coordinates_all[np.sort(idx)]
+        cl = coordinates_all[idx]  # ball_query ids are ascending
         clusters_mean.append(cl[:, :2].mean(axis=0))
         clusters_std.append(cl[:, :2].std(axis=0))
         clusters.append(cl)

@@ -5,7 +5,8 @@ search with covalent radii :22-127, ring finding :128-233, NetworkX
 export :235-269, find_cycles/find_cycle_clusters :296-403, plot_graph
 :406, filter_subgraphs :451-530) — with a redesigned core:
 
-- bond construction is vectorized: one ``cKDTree.query_pairs`` sweep +
+- bond construction is vectorized: one native pair-radius sweep
+  (`native/neighbors.py`) +
   a species-pair cutoff matrix filter (the reference loops nodes and
   re-queries per atom);
 - ring search enumerates each simple cycle exactly once via an
@@ -24,7 +25,8 @@ from copy import deepcopy
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
-from scipy import spatial
+
+from ..native import neighbors
 
 # covalent radii in picometers (Cordero et al., Dalton Trans. 2008)
 COVALENT_RADII_PM = {
@@ -71,8 +73,7 @@ def _bond_pairs(coordinates: np.ndarray, species: np.ndarray,
                      float) / 100.0
     cutoff = expand * (radii[:, None] + radii[None, :])  # (c, c) angstrom
     class_idx = np.searchsorted(classes, species)
-    tree = spatial.cKDTree(coordinates)
-    pairs = tree.query_pairs(float(cutoff.max()), output_type="ndarray")
+    pairs = neighbors.query_pairs(coordinates, float(cutoff.max()))
     if pairs.size == 0:
         return pairs.reshape(0, 2)
     d = np.linalg.norm(coordinates[pairs[:, 0]] - coordinates[pairs[:, 1]],
