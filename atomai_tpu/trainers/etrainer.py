@@ -66,6 +66,10 @@ class BaseEnsembleTrainer(BaseTrainer):
         ``mesh``: device mesh for member sharding — ``None`` (default)
         auto-builds one over all devices when more than one is present,
         ``False`` disables sharding, or pass a ``jax.sharding.Mesh``.
+
+        ``member_layout``: ``'auto'`` (default) | ``'map'`` | ``'vmap'`` —
+        how the member axis lowers inside the jitted step (see
+        :meth:`_member_layout`).
         """
         # member-sharding mesh; kept separate from BaseTrainer.mesh (the
         # batch/DP mesh used by _shard_stacked)
@@ -83,6 +87,22 @@ class BaseEnsembleTrainer(BaseTrainer):
         """Mesh over which member-stacked state shards (or None)."""
         return resolve_model_mesh(getattr(self, "member_mesh", None),
                                   n_models)
+
+    def _member_layout(self) -> str:
+        """How the member axis lowers inside the jitted train step.
+
+        ``"map"`` (sequential `lax.map`, ordinary convs) vs ``"vmap"``
+        (grouped convs). ``"auto"`` picks "map" on accelerators — measured
+        16% faster at config-D shapes — and "vmap" on CPU, whose
+        threaded conv runtime prefers the single grouped call and whose
+        golden tests pin the vmap numerics.
+        """
+        layout = self.kdict.get("member_layout", "auto")
+        if layout == "auto":
+            layout = "map" if jax.default_backend() != "cpu" else "vmap"
+        if layout not in ("map", "vmap"):
+            raise ValueError("member_layout must be 'auto'|'map'|'vmap'")
+        return layout
 
     # ------------------------------------------------------ vmapped core
     def _vmapped_train(self, n_models: int, cycles: int,
@@ -146,7 +166,7 @@ class BaseEnsembleTrainer(BaseTrainer):
         swa_cycles = min(30, cycles)
         engine_key = (n_models, cycles, has_bn, bool(swa), id(augment_fn),
                       id(criterion), tuple(Xb.shape), tuple(yb.shape),
-                      mesh)
+                      mesh, self._member_layout())
         cache = getattr(self, "_ens_engines", None)
         if cache is None:
             cache = self._ens_engines = {}
@@ -180,10 +200,14 @@ class BaseEnsembleTrainer(BaseTrainer):
             losses = jnp.stack(losses_all)
         else:
             # kept for roofline accounting (bench.py lowers the engine to
-            # read XLA's post-fusion bytes-accessed estimate)
+            # read XLA's post-fusion bytes-accessed estimate); under the
+            # "map" layout XLA counts the member-loop body once, so byte
+            # totals scale by the member count
             self._engine_probe = (run_all, (params_stack, bs_stack,
                                             opt_stack, sched, mkeys, Xb,
                                             yb))
+            self._engine_bytes_scale = (
+                n_models if self._member_layout() == "map" else 1)
             params_stack, bs_stack, losses = run_all(
                 params_stack, bs_stack, opt_stack, sched, mkeys, Xb, yb)
         self.loss_acc["train_loss"].extend(
@@ -232,9 +256,34 @@ class BaseEnsembleTrainer(BaseTrainer):
                     lambda s, p: s + upd * p * p, swa_sq, params)
             return params, new_bs, opt_state, swa_sum, swa_sq, loss
 
-        vstep = jax.vmap(member_step,
-                         in_axes=(0, 0 if has_bn else None, 0, 0, 0, 0,
-                                  0, None, None, None))
+        layout = self._member_layout()
+        if layout == "map":
+            # Sequential members inside the one jitted program: each
+            # member's convolutions lower to ordinary (non-grouped) convs.
+            # Measured on TPU at config-D shapes (4x UNet-16, batch 8,
+            # 512^2): 16% faster than the grouped-conv vmap lowering and
+            # ~86% HBM utilization vs 66%
+            # (scripts/ensemble_layout_experiment.py). The chip executes
+            # one program serially either way, so nothing is lost to the
+            # serialization; members still shard across devices via the
+            # shard_map below, which maps over the LOCAL member slice.
+            if has_bn:
+                def vstep(params, bs, opt, ssum, ssq, bis, keys, e, Xb,
+                          yb):
+                    return jax.lax.map(
+                        lambda s: member_step(*s, e, Xb, yb),
+                        (params, bs, opt, ssum, ssq, bis, keys))
+            else:
+                def vstep(params, bs, opt, ssum, ssq, bis, keys, e, Xb,
+                          yb):
+                    return jax.lax.map(
+                        lambda s: member_step(s[0], bs, *s[1:], e, Xb,
+                                              yb),
+                        (params, opt, ssum, ssq, bis, keys))
+        else:
+            vstep = jax.vmap(member_step,
+                             in_axes=(0, 0 if has_bn else None, 0, 0, 0,
+                                      0, 0, None, None, None))
 
         if mesh is not None:
             # Explicit SPMD over the member axis: each device trains its

@@ -177,6 +177,9 @@ def main():
         # by the cycle count (see compiled_bytes_accessed caveat)
         ens_bytes = compiled_bytes_accessed(probe[0], *probe[1])
         if ens_bytes:
+            # under the sequential member layout XLA counts the member-
+            # loop body once — scale by members as well as cycles
+            ens_bytes *= getattr(et, "_engine_bytes_scale", 1)
             ens_hbm_gbps = ens_bytes * CYC_D / t_ens / 1e9
 
     # --- many-frame Locator: 64 x 512^2 stack, one tiled device program
