@@ -101,6 +101,12 @@ def load_ensemble(filepath: str):
         # own BatchNorm running statistics
         ensemble = {k: {"params": v, "batch_stats": ebs[str(k)]}
                     for k, v in ensemble.items()}
+    elif arrays.get("batch_stats"):
+        # SWAG-style ensembles: weight samples share the baseline's BN
+        # running statistics
+        ensemble = {k: {"params": v,
+                        "batch_stats": arrays["batch_stats"]}
+                    for k, v in ensemble.items()}
     return smodel, ensemble
 
 

@@ -360,20 +360,9 @@ class BaseEnsembleTrainer(BaseTrainer):
             n_models, cycles, from_params=None, augment_fn=augment_fn,
             seed_offset=0, swa=self.kdict.get("swa", False))
         self.params_stack = params_stack  # member-axis-sharded on a mesh
-        host_params, host_bs = jax.device_get((params_stack, bs_stack))
-        members = [jax.tree.map(lambda x: x[i], host_params)
-                   for i in range(n_models)]
-        self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
-        if host_bs is not None:
-            # every member keeps ITS OWN BatchNorm running statistics for
-            # prediction (the reference swaps full state_dicts incl. BN
-            # buffers, `epredictor.py:142-159`; sharing one member's stats
-            # corrupts the others' eval-mode forwards)
-            self.ensemble_batch_stats = {
-                i: jax.tree.map(lambda x: x[i], host_bs)
-                for i in range(n_models)}
-            self.batch_stats = self.ensemble_batch_stats[n_models - 1]
-        self.params = members[-1]
+        members = self._collect_members(params_stack, bs_stack, n_models)
+        last = members[-1]
+        self.params = last["params"] if "params" in last else last
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
 
@@ -404,17 +393,11 @@ class BaseEnsembleTrainer(BaseTrainer):
             from_params=baseline_params, augment_fn=augment_fn,
             seed_offset=2, swa=self.kdict.get("swa", False))
         self.params_stack = params_stack  # member-axis-sharded on a mesh
-        host_params, host_bs = jax.device_get((params_stack, bs_stack))
-        members = [jax.tree.map(lambda x: x[i], host_params)
-                   for i in range(n_models)]
-        self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
+        host_params = jax.device_get(params_stack)
+        self._collect_members(params_stack, bs_stack, n_models,
+                              host_params=host_params)
         # final model carries the ensemble-averaged weights
         self.params = jax.tree.map(lambda x: x.mean(axis=0), host_params)
-        if host_bs is not None:
-            self.ensemble_batch_stats = {
-                i: jax.tree.map(lambda x: x[i], host_bs)
-                for i in range(n_models)}
-            self.batch_stats = self.ensemble_batch_stats[n_models - 1]
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
 
@@ -428,11 +411,49 @@ class BaseEnsembleTrainer(BaseTrainer):
                             augment_fn)
         mean, var = self.running_weights_stats
         samples = sample_weights(mean, var, self.keys.next(), n_models)
+        if self.batch_stats is not None:
+            # weight samples share the baseline's BN running statistics
+            # (SWAG samples weights only); full-state members keep the
+            # EnsemblePredictor contract uniform
+            samples = [{"params": s, "batch_stats": self.batch_stats}
+                       for s in samples]
         self.ensemble_state_dict = {i: s for i, s in enumerate(samples)}
         self.save_ensemble_metadict()
         return self.net, self.ensemble_state_dict
 
     # ------------------------------------------------------------- misc
+    def _collect_members(self, params_stack, bs_stack, n_models: int,
+                         host_params=None):
+        """Unstacks trained members into ``ensemble_state_dict``.
+
+        Members are FULL state dicts ``{"params", "batch_stats"}`` when
+        the net carries BatchNorm — the analog of the reference's
+        state_dict-per-member (incl. BN buffers, `etrainer.py:128-138`)
+        and the exact form ``load_ensemble`` returns, so
+        ``EnsemblePredictor(smodel, ensemble)`` works without manually
+        threading ``batch_stats``. Bare param trees otherwise."""
+        if host_params is None:
+            host_params, host_bs = jax.device_get((params_stack, bs_stack))
+        else:
+            host_bs = jax.device_get(bs_stack) if bs_stack is not None \
+                else None
+        members = [jax.tree.map(lambda x: x[i], host_params)
+                   for i in range(n_models)]
+        if host_bs is not None:
+            # every member keeps ITS OWN BatchNorm running statistics for
+            # prediction (the reference swaps full state_dicts incl. BN
+            # buffers, `epredictor.py:142-159`; sharing one member's stats
+            # corrupts the others' eval-mode forwards)
+            self.ensemble_batch_stats = {
+                i: jax.tree.map(lambda x: x[i], host_bs)
+                for i in range(n_models)}
+            self.batch_stats = self.ensemble_batch_stats[n_models - 1]
+            members = [{"params": p,
+                        "batch_stats": self.ensemble_batch_stats[i]}
+                       for i, p in enumerate(members)]
+        self.ensemble_state_dict = {i: m for i, m in enumerate(members)}
+        return members
+
     def _prepare(self, X_train, y_train, X_test, y_test):
         """Stages data + loss + model (without running a fit)."""
         kd = {k: v for k, v in self.kdict.items()}
@@ -455,9 +476,14 @@ class BaseEnsembleTrainer(BaseTrainer):
         fname = self.filename if filename is None else filename
         meta = {k: v for k, v in self.meta_state_dict.items()
                 if k not in ("weights", "optimizer")}
+        # on-disk format keeps bare param trees under "ensemble" with BN
+        # stats alongside (what load_ensemble reassembles into full-state
+        # members)
         arrays = {"params": self.params if self.params is not None else {},
-                  "ensemble": {str(k): v for k, v in
-                               self.ensemble_state_dict.items()}}
+                  "ensemble": {
+                      str(k): (v["params"] if isinstance(v, dict)
+                               and "params" in v else v)
+                      for k, v in self.ensemble_state_dict.items()}}
         if self.ensemble_batch_stats:
             arrays["ensemble_batch_stats"] = {
                 str(k): v for k, v in self.ensemble_batch_stats.items()}

@@ -31,11 +31,10 @@ def main():
                                                 gauss_noise=[10, 40]))
 
     # one vmapped forward computes every member's prediction; mean and
-    # variance reduce on device
+    # variance reduce on device (members are full state dicts, BN
+    # statistics included — nothing extra to thread through)
     predictor = aoi.predictors.EnsemblePredictor(
-        smodel, ensemble, nb_classes=1,
-        batch_stats=etrainer.ensemble_batch_stats or
-        etrainer.batch_stats, verbose=0)
+        smodel, ensemble, nb_classes=1, verbose=0)
     mean, var = predictor.predict(images[:4])
     print("prediction mean:", mean.shape, "variance:", var.shape)
     print("mean pixel uncertainty: %.4f" % float(var.mean()))

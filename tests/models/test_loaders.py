@@ -88,8 +88,10 @@ def test_ensemble_save_load(tmp_path):
     path = str(tmp_path / "ens") + "_ensemble_metadict"
     smodel, loaded_ens = load_ensemble(path)
     assert len(loaded_ens) == 2
-    # members round-trip as full-state dicts when BN stats are present
-    m0 = loaded_ens[0].get("params", loaded_ens[0])
-    assert _params_equal(ensemble[0], m0)
-    m1 = loaded_ens[1].get("params", loaded_ens[1])
-    assert _params_equal(ensemble[1], m1)
+    # members are full-state dicts when BN stats are present, both as
+    # trained in memory and as round-tripped from disk
+    for i in range(2):
+        mem, ld = ensemble[i], loaded_ens[i]
+        assert set(mem) == set(ld) == {"params", "batch_stats"}
+        assert _params_equal(mem["params"], ld["params"])
+        assert _params_equal(mem["batch_stats"], ld["batch_stats"])

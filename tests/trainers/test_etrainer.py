@@ -104,6 +104,32 @@ def test_ensemble_batch_stats_roundtrip(seg_data, tmp_path):
     assert np.isfinite(np.asarray(mean)).all()
 
 
+def test_full_state_members(seg_data, tmp_path):
+    """Trained members come back as full state dicts ({"params",
+    "batch_stats"}) so EnsemblePredictor works without manually
+    threading BN statistics — for all three strategies."""
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                filename=str(tmp_path / "fs"))
+    _, ensemble = et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    assert set(ensemble[0]) == {"params", "batch_stats"}
+    p = EnsemblePredictor(et.net, ensemble, nb_classes=1, verbose=0)
+    assert p.batch_stats_stack is not None
+    mean, _ = p.predict(imgs[:1], num_batches=1)
+    assert np.isfinite(np.asarray(mean)).all()
+
+    et2 = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                          layers=[1, 1, 1, 1])
+    et2.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                 filename=str(tmp_path / "fsw"))
+    _, swag_ens = et2.train_swag(imgs, masks, n_models=3)
+    assert set(swag_ens[0]) == {"params", "batch_stats"}
+    p2 = EnsemblePredictor(et2.net, swag_ens, nb_classes=1, verbose=0)
+    assert p2.batch_stats_stack is not None
+
+
 def test_ensemble_locate_format():
     # synthetic "ensemble" with one blob; needs >= 10 members because
     # cluster_coord uses DBSCAN(min_samples=10) (reference parity,
