@@ -206,3 +206,33 @@ def test_sharded_tiled_predict_matches_single_device():
     assert p_1.mesh is None
     out_1 = p_1.predict(X, num_batches=1)
     np.testing.assert_allclose(out_sh, out_1, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_ensemble_map_layout_with_member_mesh():
+    """The sequential lax.map member layout (TPU default) composed with
+    member-mesh sharding — the combination a real multi-chip TPU host
+    runs: shard_map partitions members over the model axis, lax.map
+    iterates the LOCAL member slice inside each shard."""
+    from atomai_tpu.trainers import EnsembleTrainer
+    from atomai_tpu.utils import make_lattice_stack
+
+    imgs, masks, _ = make_lattice_stack(8, 32, 10, seed=1)
+
+    def train(layout, mesh):
+        et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                             layers=[1, 1, 1, 1], seed=3)
+        et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                    filename="/tmp/aoi_ens_ml",
+                                    mesh=mesh, member_layout=layout)
+        et.train_ensemble_from_scratch(imgs, masks, n_models=4)
+        return et
+
+    et_map = train("map", None)      # sharded + sequential local members
+    leaf = jax.tree.leaves(et_map.params_stack)[0]
+    assert len(leaf.sharding.device_set) >= 4, leaf.sharding
+    et_ref = train("vmap", False)    # unsharded vmap reference
+    tr_m = np.asarray(et_map.loss_acc["train_loss"])
+    tr_r = np.asarray(et_ref.loss_acc["train_loss"])
+    np.testing.assert_allclose(tr_m, tr_r, rtol=0.05)
