@@ -84,15 +84,19 @@ Grid build_grid(int n, int dim, const double* pts, double cell_hint) {
         cell = extent > 0 ? extent / std::max(per_axis, 1.0) : 1.0;
     }
     if (!(cell > 0.0)) cell = 1.0;
-    // cap total cells at ~2^22 by coarsening
+    // cap total cells at ~2^22 by coarsening; per-axis sizes and the
+    // product are computed in double BEFORE any int cast — a far outlier
+    // with a small cell makes the raw ratio exceed both int and int64
+    // range (float->int overflow is UB)
     for (;;) {
-        int64_t total = 1;
+        double total = 1.0;
         for (int d = 0; d < dim; ++d) {
-            int s = static_cast<int>((hi[d] - g.lo[d]) / cell) + 1;
-            g.shape[d] = std::max(s, 1);
-            total *= g.shape[d];
+            double sd = std::floor((hi[d] - g.lo[d]) / cell) + 1.0;
+            if (!(sd >= 1.0)) sd = 1.0;
+            g.shape[d] = static_cast<int>(std::min(sd, double(1 << 22)));
+            total *= sd;
         }
-        if (total <= (int64_t(1) << 22) || n == 0) break;
+        if (total <= double(int64_t(1) << 22) || n == 0) break;
         cell *= 2.0;
     }
     g.cell = cell;

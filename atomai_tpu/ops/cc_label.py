@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 
 
+# largest tiled-image pixel count run as ONE program: root labels are
+# int32 flat indices (headroom below 2^31 for the background sentinel)
+_INT32_SAFE_PIXELS = 2 ** 31 - 2 ** 20
+
+
 def _neighbor_min(lab: jnp.ndarray, big: jnp.int32) -> jnp.ndarray:
     """Min over the 4-neighborhood (plus self) with BIG padding."""
     up = jnp.concatenate([lab[1:], jnp.full_like(lab[:1], big)], axis=0)
@@ -91,8 +96,13 @@ def _blob_moments(lab: jnp.ndarray
     flat_lab = jnp.minimum(lab.reshape(-1), H * W)
     n_seg = H * W + 1
     ones = (flat_lab < H * W).astype(jnp.float32)
-    rows = (jnp.arange(H * W, dtype=jnp.float32) // W) * ones
-    cols = (jnp.arange(H * W, dtype=jnp.float32) % W) * ones
+    # 2D iota, NOT a flat arange: float32 is integer-exact only to 2^24,
+    # and tall tiled stacks (blob_centers_tiled) exceed 2^24 pixels —
+    # flat-index division there would drift row coordinates near the top
+    rows = jax.lax.broadcasted_iota(
+        jnp.float32, (H, W), 0).reshape(-1) * ones
+    cols = jax.lax.broadcasted_iota(
+        jnp.float32, (H, W), 1).reshape(-1) * ones
     counts = jax.ops.segment_sum(ones, flat_lab, num_segments=n_seg)
     row_sum = jax.ops.segment_sum(rows, flat_lab, num_segments=n_seg)
     col_sum = jax.ops.segment_sum(cols, flat_lab, num_segments=n_seg)
@@ -181,6 +191,32 @@ def blob_centers_tiled(masks: jnp.ndarray, max_blobs_total: int = 65536
     concatenating :func:`blob_centers` results frame by frame.
     """
     N, H, W = masks.shape
+    # the labeler's root labels are int32 FLAT indices of the tiled
+    # image: chunk very long stacks so each tiled chunk stays within
+    # int32 (the per-frame path bounded indices by one frame and never
+    # hit this; e.g. a 512-frame 2048^2 movie crosses 2^31 pixels)
+    max_frames = max(1, _INT32_SAFE_PIXELS // ((H + 1) * W))
+    if N > max_frames:
+        import numpy as _np
+        pcs, pfs, pss = [], [], []
+        for s in range(0, N, max_frames):
+            c, f, z, v = blob_centers_tiled(masks[s:s + max_frames],
+                                            max_blobs_total)
+            nv = int(_np.asarray(jnp.sum(v)))  # valid blobs form a prefix
+            pcs.append(_np.asarray(c)[:nv])
+            pfs.append(_np.asarray(f)[:nv] + s)
+            pss.append(_np.asarray(z)[:nv])
+        coords = _np.concatenate(pcs)[:max_blobs_total]
+        frames = _np.concatenate(pfs)[:max_blobs_total]
+        sizes = _np.concatenate(pss)[:max_blobs_total]
+        nv = coords.shape[0]
+        pad = max_blobs_total - nv
+        coords = _np.pad(coords, ((0, pad), (0, 0)))
+        frames = _np.pad(frames, (0, pad), constant_values=-1)
+        sizes = _np.pad(sizes, (0, pad))
+        valid = _np.arange(max_blobs_total) < nv
+        return (jnp.asarray(coords), jnp.asarray(frames),
+                jnp.asarray(sizes), jnp.asarray(valid))
     tiled = jnp.pad(masks, ((0, 0), (0, 1), (0, 0))).reshape(
         N * (H + 1), W)
     from .pallas_cc import label_components_auto

@@ -51,8 +51,16 @@ def _bf16_dot(a, b):
 
 
 def _layout(B, n):
-    """(samples_per_block S, rows_per_slice tile, grid) for (B, n)."""
-    tile = min(n, MAX_TILE)
+    """(samples_per_block S, rows_per_slice tile, grid) for (B, n).
+
+    ``tile`` must DIVIDE n (a ROW_ALIGN multiple) — a floor-divided grid
+    would silently leave the row tail unwritten when n > MAX_TILE is not
+    a tile multiple (e.g. n = 2560)."""
+    if n <= MAX_TILE:
+        tile = n
+    else:
+        tile = max(t for t in range(ROW_ALIGN, MAX_TILE + 1, ROW_ALIGN)
+                   if n % t == 0)
     S = 1
     if tile == n:
         S = max(1, TARGET_ROWS // n)

@@ -85,14 +85,10 @@ class EnsemblePredictor(BasePredictor):
         # devices, mesh=False disables, or pass a jax.sharding.Mesh);
         # the reference swaps state_dicts sequentially on one device
         # (`epredictor.py:142-159`)
-        mesh = kwargs.get("mesh", None)
-        if mesh is None and jax.device_count() > 1:
-            from ..core.mesh import MODEL_AXIS, ensemble_mesh
-            m = ensemble_mesh(self.n_models)
-            mesh = m if m.shape[MODEL_AXIS] > 1 else False
-        self._mesh = mesh or None
+        from ..core.mesh import resolve_model_mesh, shard_member_stacked
+        self._mesh = resolve_model_mesh(kwargs.get("mesh", None),
+                                        self.n_models)
         if self._mesh is not None:
-            from ..trainers.etrainer import shard_member_stacked
             self.params_stack = shard_member_stacked(self.params_stack,
                                                      self._mesh)
         self.data_type = data_type
@@ -181,7 +177,7 @@ class EnsemblePredictor(BasePredictor):
         jitted = jax.jit(vfwd)
         if bs_stack is not None:
             if self._mesh is not None:
-                from ..trainers.etrainer import shard_member_stacked
+                from ..core.mesh import shard_member_stacked
                 bs_stack = shard_member_stacked(bs_stack, self._mesh)
             return lambda p, x: jitted(p, bs_stack, x)
         return jitted

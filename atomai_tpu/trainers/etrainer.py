@@ -200,12 +200,15 @@ class BaseEnsembleTrainer(BaseTrainer):
             losses = jnp.stack(losses_all)
         else:
             # kept for roofline accounting (bench.py lowers the engine to
-            # read XLA's post-fusion bytes-accessed estimate); under the
-            # "map" layout XLA counts the member-loop body once, so byte
-            # totals scale by the member count
-            self._engine_probe = (run_all, (params_stack, bs_stack,
-                                            opt_stack, sched, mkeys, Xb,
-                                            yb))
+            # read XLA's post-fusion bytes-accessed estimate); store
+            # ABSTRACT shapes only — lower() needs avals, and keeping the
+            # live pre-training stacks would pin a second copy of the
+            # member+optimizer state in HBM for the trainer's lifetime.
+            # Under the "map" layout XLA counts the member-loop body
+            # once, so byte totals scale by the member count
+            self._engine_probe = (run_all, jax.eval_shape(
+                lambda *a: a, params_stack, bs_stack, opt_stack, sched,
+                mkeys, Xb, yb))
             self._engine_bytes_scale = (
                 n_models if self._member_layout() == "map" else 1)
             params_stack, bs_stack, losses = run_all(

@@ -492,6 +492,12 @@ class BaseTrainer:
                              tr_acc / nb_tr, ts_acc / nb_ts))
             return cycle_py
 
+        # standalone batch-step probes for byte accounting: in full-epoch
+        # mode the chunk's cost analysis conflates the train and eval scan
+        # bodies (each counted once), so per-cycle bytes must be rebuilt
+        # as train_bytes*nb_train + eval_bytes*nb_test
+        self._probe_batch_steps = (train_one_batch, eval_one_batch)
+
         @jax.jit
         def run_chunk(carry, xs):
             return jax.lax.scan(cycle, carry, xs)
@@ -582,18 +588,28 @@ class BaseTrainer:
         else:
             xs = (es, keys)
         from ..core.profiling import compiled_bytes_accessed
-        reported = compiled_bytes_accessed(self._compiled_chunk, carry, xs)
-        if not reported:
-            return None
-        # XLA counts the scan body once, not x trip count (see
-        # compiled_bytes_accessed): the chunk scans over cycles, so the
-        # reported figure already approximates ONE cycle. In full-epoch
-        # mode the cycle body itself scans over all batches — scale by
-        # the inner trip counts.
+        # XLA counts a scan body once, not x trip count (see
+        # compiled_bytes_accessed). In batch mode the cycle body is
+        # exactly one train + one eval batch, so the chunk's own figure
+        # approximates ONE cycle. In full-epoch mode the chunk conflates
+        # the train and eval scan bodies (each counted once) — rebuild
+        # per-cycle bytes from the standalone batch-step probes instead
+        # of scaling the conflated sum.
         if self.full_epoch:
-            reported *= (int(self.Xb_train.shape[0]) +
-                         int(self.Xb_test.shape[0]))
-        return reported
+            tr_fn, ev_fn = self._probe_batch_steps
+            k = jax.random.key(0)
+            tb = compiled_bytes_accessed(
+                jax.jit(tr_fn), (self.params, self.batch_stats,
+                                 self.opt_state),
+                self.Xb_train[0], self.yb_train[0], k)
+            eb = compiled_bytes_accessed(
+                jax.jit(ev_fn), self.params, self.batch_stats,
+                self.Xb_test[0], self.yb_test[0], k)
+            if tb is None or eb is None:
+                return None
+            return (tb * int(self.Xb_train.shape[0]) +
+                    eb * int(self.Xb_test.shape[0]))
+        return compiled_bytes_accessed(self._compiled_chunk, carry, xs)
 
     def train_flops_per_cycle(self) -> Optional[float]:
         """Analytic MXU FLOPs (convs + dots, fwd+bwd) for ONE training

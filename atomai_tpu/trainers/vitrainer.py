@@ -372,9 +372,12 @@ class viBaseTrainer:
             self._train_epoch_fn, self._eval_epoch_fn = \
                 self._build_epoch_fns()
         from ..core.profiling import compiled_bytes_accessed
+        # fixed probe key: lower() never runs the function, so drawing
+        # from self.keys here would silently shift the training RNG
+        # stream of any subsequent fit
         reported = compiled_bytes_accessed(
             self._train_epoch_fn, self.params, self.opt_state,
-            self.keys.next(), jnp.int32(0))
+            jax.random.key(0), jnp.int32(0))
         if not reported:
             return None
         # XLA counts the epoch's scan body (one batch step) once, not

@@ -203,6 +203,10 @@ def extract_subimages(imgdata: np.ndarray,
         imgdata = imgdata[None, ..., None]
     coord_sel, frame_sel = [], []
     for i, coord in enumerate(coordinates.values()):
+        if i >= imgdata.shape[0]:
+            # a dict with more frames than images truncates to the
+            # image count (the reference zips frames with coordinates)
+            break
         coord_i = coord[coord[:, 2] == coord_class][:, :2]
         coord_sel.append(coord_i)
         frame_sel.append(np.full(len(coord_i), i, np.int64))

@@ -136,3 +136,17 @@ def test_empty_and_single_point():
     np.testing.assert_array_equal(out[0], [0])
     labels = neighbors.dbscan(pts, eps=1.0, min_samples=2)
     np.testing.assert_array_equal(labels, [-1])
+
+
+def test_far_outlier_does_not_overflow_grid():
+    """A corrupted coordinate light-years away with a small eps must not
+    overflow the cell-count computation (UB before the cap check)."""
+    rng = np.random.RandomState(0)
+    pts = rng.rand(64, 3) * 10
+    pts[0] = [3e6, 3e6, 3e6]
+    labels = neighbors.dbscan(pts, eps=0.5, min_samples=3)
+    assert labels.shape == (64,)
+    d, i = neighbors.knn(pts, pts, k=3)
+    assert np.isfinite(d[1:, 1]).all()
+    pairs = neighbors.query_pairs(pts, 0.5)
+    assert pairs.ndim == 2

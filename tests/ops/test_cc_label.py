@@ -75,6 +75,23 @@ def test_blob_centers_tiled_matches_per_frame():
         np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
+def test_blob_centers_tiled_chunked_matches_single(monkeypatch):
+    """Stacks whose tiled image would overflow int32 flat indices split
+    into chunks; the merged output must equal the single-program path."""
+    import atomai_tpu.ops.cc_label as cc
+
+    rng = np.random.RandomState(3)
+    masks = (rng.rand(10, 16, 16) > 0.88).astype(np.float32)
+    ref = [np.asarray(a) for a in blob_centers_tiled(jnp.asarray(masks),
+                                                     256)]
+    # force chunking at ~3 frames per chunk
+    monkeypatch.setattr(cc, "_INT32_SAFE_PIXELS", 3 * 17 * 16)
+    got = [np.asarray(a) for a in blob_centers_tiled(jnp.asarray(masks),
+                                                     256)]
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, atol=1e-4)
+
+
 def test_locator_many_frames_matches_few():
     """Locator's tiled (>8 masks) and per-frame (<=8) paths must agree."""
     from atomai_tpu.predictors import Locator

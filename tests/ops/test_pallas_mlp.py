@@ -23,6 +23,13 @@ def test_layout_merges_samples():
     assert (S, tile, grid) == (1, 2048, (128, 2))
     S, tile, grid = _layout(6, 512)
     assert S * grid[0] == 6 and tile * grid[1] == 512
+    # tile must DIVIDE n: n = 2560 > MAX_TILE is not a 2048 multiple;
+    # floor division would leave rows 2048..2559 unwritten
+    S, tile, grid = _layout(8, 2560)
+    assert tile * grid[1] == 2560
+    for n in (2560, 3072, 3584, 4608):
+        S, tile, grid = _layout(4, n)
+        assert tile * grid[1] == n, n
 
 
 def _inputs(seed=0):
@@ -45,6 +52,20 @@ def test_forward_matches_reference():
     y_ref = spatial_mlp_reference(*args)
     assert y.shape == (B, 1, N)
     # kernel matmuls run bf16-operand/f32-accum; reference is f32 on CPU
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_forward_nondivisible_tail():
+    """n > MAX_TILE and not a MAX_TILE multiple: every row must be
+    written (regression for the floor-divided grid)."""
+    n = 2560
+    rng = np.random.RandomState(3)
+    args = list(_inputs())
+    args[0] = jnp.asarray(rng.uniform(-1, 1, (B, 2, n)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = spatial_mlp(*args)
+    y_ref = spatial_mlp_reference(*args)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=5e-2, rtol=5e-2)
 

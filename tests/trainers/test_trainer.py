@@ -166,3 +166,33 @@ class TestEngineParity:
             losses.append(np.asarray(et.loss_acc["train_loss"]))
         np.testing.assert_allclose(losses[0], losses[1],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_full_epoch_bytes_accounting():
+    """Full-epoch per-cycle bytes rebuild from standalone batch-step
+    probes (train*nb_tr + eval*nb_ts) — the chunk's own cost analysis
+    counts each scan body once and must NOT be scaled by the combined
+    trip count (that conflates train and eval body bytes)."""
+    X, y, Xt, yt = _data(n=16)
+    t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    t.engine = "scan"
+    t.fit(X, y, Xt, yt, training_cycles=2, batch_size=4, full_epoch=True,
+          print_loss=1, filename="/tmp/aoi_bytes_fe")
+    b = t.train_bytes_per_cycle()
+    assert b is not None and b > 0
+    # 4 train + 4 eval batches: the per-cycle figure must exceed one
+    # train batch's bytes by more than the eval-conflation would allow
+    from atomai_tpu.core.profiling import compiled_bytes_accessed
+    import jax
+    tr_fn, ev_fn = t._probe_batch_steps
+    tb = compiled_bytes_accessed(
+        jax.jit(tr_fn), (t.params, t.batch_stats, t.opt_state),
+        t.Xb_train[0], t.yb_train[0], jax.random.key(0))
+    eb = compiled_bytes_accessed(
+        jax.jit(ev_fn), t.params, t.batch_stats, t.Xb_test[0],
+        t.yb_test[0], jax.random.key(0))
+    nb_tr, nb_ts = t.Xb_train.shape[0], t.Xb_test.shape[0]
+    assert b == tb * nb_tr + eb * nb_ts
+    # eval (forward-only) must cost fewer bytes than a train step —
+    # the property the old (tb+eb)*(nb_tr+nb_ts) scaling violated
+    assert eb < tb

@@ -46,6 +46,17 @@ def test_extract_subimages_dict():
     assert set(frames.tolist()) == {0, 1}
 
 
+def test_extract_subimages_more_frames_than_images():
+    """A multi-frame coordinate dict applied to a shorter image stack
+    truncates to the image count (reference zip() tolerance) instead of
+    raising on the out-of-range frame index."""
+    img = np.random.rand(32, 32)
+    coords = {i: np.array([[16.0, 16.0, 0.0]]) for i in range(3)}
+    sub, com, frames = extract_subimages(img, coords, 8, coord_class=0)
+    assert sub.shape == (1, 8, 8, 1)
+    assert frames.tolist() == [0]
+
+
 def test_extract_patches_pairs():
     img = np.random.rand(64, 64)
     mask = (img > .5).astype(float)
