@@ -130,6 +130,25 @@ def test_full_state_members(seg_data, tmp_path):
     assert p2.batch_stats_stack is not None
 
 
+def test_predictor_member_layout_parity(seg_data, tmp_path):
+    """EnsemblePredictor's map and vmap member-forward layouts produce
+    the same mean/variance (the map layout is the TPU default, 19%
+    faster at config-D inference shapes)."""
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
+                                filename=str(tmp_path / "pl"))
+    _, ensemble = et.train_ensemble_from_scratch(imgs, masks, n_models=3)
+    outs = {}
+    for layout in ("map", "vmap"):
+        p = EnsemblePredictor(et.net, ensemble, nb_classes=1, verbose=0,
+                              member_layout=layout)
+        outs[layout] = p.predict(imgs[:2], num_batches=1)
+    np.testing.assert_allclose(outs["map"][0], outs["vmap"][0], atol=1e-5)
+    np.testing.assert_allclose(outs["map"][1], outs["vmap"][1], atol=1e-5)
+
+
 def test_ensemble_locate_format():
     # synthetic "ensemble" with one blob; needs >= 10 members because
     # cluster_coord uses DBSCAN(min_samples=10) (reference parity,
