@@ -6,15 +6,31 @@ constructor kwargs; ``load_ensemble`` restores the averaged weights plus
 all member weights.
 """
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple, Union
 
 from ..core.checkpoint import load_checkpoint
 
 
-def load_model(filepath: str):
+def _resolve_checkpoint(source: Union[str, Tuple[Dict, Dict], Dict]
+                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Accepts a checkpoint path, a ``(meta, arrays)`` pair, or a dict with
+    ``meta``/``arrays`` keys (the analog of the reference's in-memory
+    ``meta_dict`` argument, `atomai/models/loaders.py:67-90`)."""
+    if isinstance(source, str):
+        return load_checkpoint(source)
+    if isinstance(source, tuple) and len(source) == 2:
+        return source
+    if isinstance(source, dict) and "meta" in source:
+        return source["meta"], source.get("arrays", {})
+    raise TypeError(
+        "Expected a checkpoint path, a (meta, arrays) pair, or a dict "
+        f"with 'meta'/'arrays' keys; got {type(source).__name__}")
+
+
+def load_model(filepath: Union[str, Tuple[Dict, Dict], Dict]):
     """Loads a trained model from a checkpoint file
     (reference `loaders.py:25-64`)."""
-    meta, arrays = load_checkpoint(filepath)
+    meta, arrays = _resolve_checkpoint(filepath)
     model_type = meta.get("model_type")
     if model_type == "seg":
         from .segmentor import Segmentor
@@ -87,6 +103,46 @@ def load_model(filepath: str):
     model.params = arrays["params"]
     model.batch_stats = arrays.get("batch_stats")
     return model
+
+
+def _load_typed(source, expected: Tuple[str, ...], kind: str):
+    meta, arrays = _resolve_checkpoint(source)
+    mt = meta.get("model_type")
+    if mt not in expected:
+        raise ValueError(
+            f"Checkpoint holds a '{mt}' model, not a {kind} model")
+    return load_model((meta, arrays))
+
+
+def load_seg_model(meta_dict) -> Any:
+    """Restores a Segmentor from checkpoint data
+    (reference `loaders.py:67-88`)."""
+    return _load_typed(meta_dict, ("seg",), "segmentation")
+
+
+def load_imspec_model(meta_dict) -> Any:
+    """Restores an ImSpec model (reference `loaders.py:91-112`)."""
+    return _load_typed(meta_dict, ("imspec",), "imspec")
+
+
+def load_reg_model(meta_dict) -> Any:
+    """Restores a Regressor (reference `loaders.py:115-136`)."""
+    return _load_typed(meta_dict, ("reg",), "regression")
+
+
+def load_cls_model(meta_dict) -> Any:
+    """Restores a Classifier (reference `loaders.py:139-160`)."""
+    return _load_typed(meta_dict, ("cls",), "classification")
+
+
+def load_vae_model(meta_dict) -> Any:
+    """Restores a VAE-family model (reference `loaders.py:163-195`)."""
+    return _load_typed(meta_dict, ("vae",), "VAE")
+
+
+def load_denoising_autoencoder(meta_dict) -> Any:
+    """Restores a DenoisingAutoencoder (reference `loaders.py:198-224`)."""
+    return _load_typed(meta_dict, ("denoising_autoencoder",), "denoiser")
 
 
 def load_ensemble(filepath: str):

@@ -12,7 +12,10 @@ from typing import List, Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, "_graph_rings.so")
+# built artifacts live under .cache/ — not a valid module name, so package
+# walkers never mistake the ctypes libraries for CPython extension modules
+_BUILD_DIR = os.path.join(_DIR, ".cache")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libgraph_rings.so")
 _SRC_PATH = os.path.join(_DIR, "graph_rings.cpp")
 _lib = None
 _build_failed = False
@@ -23,6 +26,7 @@ def compile_lib(src_path: str, lib_path: str) -> ctypes.CDLL:
     cached .so is newer than the source) and dlopens it."""
     if (not os.path.exists(lib_path) or
             os.path.getmtime(lib_path) < os.path.getmtime(src_path)):
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
              src_path, "-o", lib_path],

@@ -22,9 +22,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from . import _DIR, compile_lib
+from . import _BUILD_DIR, _DIR, compile_lib
 
-_LIB_PATH = os.path.join(_DIR, "_neighbors.so")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libneighbors.so")
 _SRC_PATH = os.path.join(_DIR, "neighbors.cpp")
 _lib = None
 _build_failed = False

@@ -14,7 +14,8 @@ from .ed import (SignalEncoder, SignalDecoder, SignalED, convEncoderNet,
 from .reg_cls import (RegressorNet, ClassifierNet, MultiTaskClassifierNet,
                       init_reg_model, init_cls_model, init_mtask_cls_model)
 from .gp import (fcFeatureExtractor, rbf_kernel, matern52_kernel,
-                 scale_to_bounds, init_gp_params, KERNELS)
+                 scale_to_bounds, init_gp_params, KERNELS,
+                 GPRegressionModel, CustomGPModel)
 
 # reference-name aliases
 CustomBackbone = ConvBackbone  # `atomai/nets/blocks.py:332-399`
@@ -29,4 +30,5 @@ __all__ = ["ConvBlock", "UpsampleBlock", "ResBlock", "ResModule",
            "ClassifierNet", "MultiTaskClassifierNet", "init_reg_model",
            "init_cls_model", "init_mtask_cls_model", "fcFeatureExtractor",
            "rbf_kernel", "matern52_kernel", "scale_to_bounds",
-           "init_gp_params", "KERNELS", "CustomBackbone"]
+           "init_gp_params", "KERNELS", "CustomBackbone",
+           "GPRegressionModel", "CustomGPModel"]

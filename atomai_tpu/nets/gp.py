@@ -130,6 +130,135 @@ def kernel_diag(kernel, X, lengthscale, outputscale):
     return jax.vmap(one, out_axes=-1)(X)
 
 
+class GPRegressionModel:
+    """DKL GP module bundle (reference `atomai/nets/gp.py:29-60`).
+
+    JAX-native equivalent of the gpytorch ``ExactGP`` subclass: bundles the
+    feature extractor, ARD-RBF kernel and constant mean into one object with
+    explicit parameter pytrees. ``likelihood`` is accepted for signature
+    parity; the observation noise lives in the GP parameter pytree
+    (``raw_noise``) as in :func:`init_gp_params`. KISS-GP grid interpolation
+    (``grid_size``) is replaced by exact batched inference — the trainers
+    switch to the SGPR collapsed bound for large N.
+    """
+
+    def __init__(self, X, y, likelihood=None, feature_extractor=None,
+                 embedim: int = 2, grid_size: int = 50) -> None:
+        self.X = jnp.asarray(X, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        self.y = y if y.ndim == 2 else y[None]
+        self.batch_dim = self.y.shape[0]
+        self.embedim = embedim
+        self.grid_size = grid_size
+        self.feature_extractor = feature_extractor or fcFeatureExtractor(
+            self.X.shape[-1], embedim)
+        self.kernel = rbf_kernel
+        self.scale_stats = None
+
+    def init(self, key) -> dict:
+        """Initializes {"fe": ..., "gp": ...} parameter pytrees; GP
+        hyperparameters carry a leading output-batch axis."""
+        fe = self.feature_extractor.init(key, self.X[:1])["params"]
+        gp = init_gp_params(self.embedim, (self.batch_dim,))
+        return {"fe": fe, "gp": gp}
+
+    def embed(self, params, x):
+        emb = self.feature_extractor.apply({"params": params["fe"]}, x)
+        if self.scale_stats is None:
+            self.scale_stats = compute_bounds_stats(
+                self.feature_extractor.apply({"params": params["fe"]},
+                                             self.X))
+        return scale_to_bounds(emb, stats=self.scale_stats)
+
+    def forward(self, params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """GP prior at the embedded inputs: (mean, cov), batched over
+        outputs — the functional analog of the reference's ``forward``
+        returning a MultivariateNormal."""
+        emb = self.embed(params, x)
+        ls, os_ = softplus(params["gp"]["raw_lengthscale"]), \
+            softplus(params["gp"]["raw_outputscale"])
+        cov = self.kernel(emb[None], emb[None], ls, os_)
+        mean = jnp.broadcast_to(params["gp"]["mean_const"][:, None],
+                                (self.batch_dim, emb.shape[0]))
+        return mean, cov
+
+    __call__ = forward
+
+
+class CustomGPModel:
+    """Configurable GP model (reference `atomai/nets/gp.py:63-131`).
+
+    Bundles kernel choice ('rbf'/'matern' or a callable), kernel type
+    ('exact', 'sparse' with explicit inducing points, or 'kissgp' — an
+    inducing grid over the input bounding box), and optional lengthscale
+    interval constraints. Methods delegate to the batched JAX linear
+    algebra in ``atomai_tpu.trainers.gptrainer``.
+    """
+
+    def __init__(self, train_x, train_y, likelihood=None,
+                 kernel_type: str = "kissgp", base_kernel="rbf",
+                 inducing_points=None, grid_points_ratio: float = 1.0,
+                 lengthscale_constraints=None, **kwargs) -> None:
+        self.X = jnp.asarray(train_x, jnp.float32)
+        self.y = jnp.asarray(train_y, jnp.float32)
+        if isinstance(base_kernel, str):
+            if base_kernel not in KERNELS:
+                raise ValueError(
+                    "base_kernel must be 'rbf', 'matern', or a callable")
+            base_kernel = KERNELS[base_kernel]
+        self.kernel = base_kernel
+        self.kernel_type = kernel_type
+        self.lengthscale_constraints = lengthscale_constraints
+        if kernel_type == "sparse":
+            if inducing_points is None:
+                raise ValueError(
+                    "kernel_type='sparse' requires inducing_points")
+            self.Z = jnp.asarray(inducing_points, jnp.float32)
+        elif kernel_type == "kissgp":
+            from ..trainers.gptrainer import make_inducing_grid
+            self.Z = make_inducing_grid(self.X, grid_points_ratio)
+        else:
+            self.Z = None
+
+    def init(self) -> dict:
+        return init_gp_params(self.X.shape[-1])
+
+    def neg_mll(self, params) -> jnp.ndarray:
+        from ..trainers import gptrainer as gt
+        if self.Z is not None:
+            return gt.neg_mll_sparse(params, self.X, self.y, self.Z,
+                                     self.kernel,
+                                     self.lengthscale_constraints)
+        return gt.neg_mll(params, self.X, self.y, self.kernel,
+                          self.lengthscale_constraints)
+
+    def posterior(self, params, Xs, full_cov: bool = False):
+        from ..trainers import gptrainer as gt
+        Xs = jnp.asarray(Xs, jnp.float32)
+        if self.Z is not None:
+            cache = gt.sparse_posterior_cache(
+                params, self.X, self.y, self.Z, self.kernel,
+                self.lengthscale_constraints)
+            return gt.sparse_posterior(cache, Xs, self.kernel)
+        return gt.posterior(params, self.X, self.y, Xs, self.kernel,
+                            self.lengthscale_constraints, full_cov)
+
+    def forward(self, params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """GP prior (mean, cov) at x."""
+        x = jnp.asarray(x, jnp.float32)
+        ls, os_ = softplus(params["raw_lengthscale"]), \
+            softplus(params["raw_outputscale"])
+        if self.lengthscale_constraints is not None:
+            ls = constrain(params["raw_lengthscale"],
+                           self.lengthscale_constraints[0],
+                           self.lengthscale_constraints[1])
+        cov = self.kernel(x, x, ls[None], os_[None])[0]
+        mean = jnp.broadcast_to(params["mean_const"], (x.shape[0],))
+        return mean, cov
+
+    __call__ = forward
+
+
 def init_gp_params(input_dim: int, batch_shape: Tuple[int, ...] = (),
                    ) -> dict:
     """Raw GP hyperparameters: ARD lengthscales, outputscale, noise, mean.

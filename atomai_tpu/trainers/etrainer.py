@@ -34,6 +34,56 @@ from ..utils.nn import sample_weights
 from .trainer import BaseTrainer, _shuffled_batch_schedule
 
 
+def set_data_seg(X_train, y_train, X_test=None, y_test=None,
+                 nb_classes_set: int = 1, **kwargs):
+    """Validates/splits/casts segmentation data
+    (reference `etrainer.py:437-469`). NHWC layout."""
+    nb_classes = preproc.num_classes_from_labels(np.asarray(y_train))
+    if nb_classes != nb_classes_set:
+        raise AssertionError(
+            "Number of specified classes is different from the number of "
+            "classes contained in training data")
+    if X_test is None or y_test is None:
+        X_train, y_train, X_test, y_test = preproc.data_split(
+            X_train, y_train, kwargs.get("test_size", .15),
+            kwargs.get("seed", 1))
+    X_train, y_train, X_test, y_test = preproc.check_image_dims(
+        X_train, y_train, X_test, y_test, nb_classes)
+    ydtype = np.int64 if nb_classes > 1 else np.float32
+    return (X_train.astype(np.float32), y_train.astype(ydtype),
+            X_test.astype(np.float32), y_test.astype(ydtype))
+
+
+def set_data_imspec(X_train, y_train, X_test=None, y_test=None,
+                    dims=None, **kwargs):
+    """Validates/splits/casts im2spec / spec2im data
+    (reference `etrainer.py:471-500`)."""
+    if X_test is None or y_test is None:
+        X_train, y_train, X_test, y_test = preproc.data_split(
+            X_train, y_train, kwargs.get("test_size", .15),
+            kwargs.get("seed", 1))
+    X_train, y_train, X_test, y_test = preproc.check_signal_dims(
+        X_train, y_train, X_test, y_test)
+    if dims is not None:
+        # check_signal_dims canonicalizes to (n, h, w) / (n, length)
+        in_dim, out_dim = X_train.shape[1:], y_train.shape[1:]
+        if tuple(dims[0]) != tuple(in_dim) or tuple(dims[1]) != tuple(out_dim):
+            raise AssertionError(
+                "The input/output dimensions of the model must match "
+                "the height, width and length (for spectra) of training")
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    return f32(X_train), f32(y_train), f32(X_test), f32(y_test)
+
+
+def accuracy_fn_seg(nb_classes: int):
+    """Returns an IoU accuracy callable (reference `etrainer.py:503-513`)."""
+    # nb_classes is accepted for signature parity; the class count is
+    # inferred from the logits' channel axis
+    def accuracy(y, y_prob, *args):
+        return iou_score(y, y_prob)
+    return accuracy
+
+
 def _stack_trees(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 

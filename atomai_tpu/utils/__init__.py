@@ -42,6 +42,10 @@ from .compat import (torch_format_image, torch_format_spectra, torch_format,
                      preprocess_training_imspec_data,
                      preprocess_training_reg_data,
                      preprocess_training_cls_data, preprocess_denoiser_data,
+                     preprocess_training_image_data_,
+                     preprocess_training_imspec_data_,
+                     preprocess_training_reg_data_,
+                     preprocess_training_cls_data_,
                      load_weights, Hook, set_seed_and_precision,
                      dummy_optimizer, nb_filters_classes, channels2indices,
                      combine_classes_, animation_from_png,
@@ -77,6 +81,8 @@ __all__ = [
     "init_reg_dataloaders", "init_cls_dataloaders", "init_vae_dataloaders",
     "preprocess_training_image_data", "preprocess_training_imspec_data",
     "preprocess_training_reg_data", "preprocess_training_cls_data",
+    "preprocess_training_image_data_", "preprocess_training_imspec_data_",
+    "preprocess_training_reg_data_", "preprocess_training_cls_data_",
     "preprocess_denoiser_data", "load_weights", "Hook",
     "set_seed_and_precision", "dummy_optimizer", "nb_filters_classes",
     "channels2indices", "combine_classes_", "animation_from_png",

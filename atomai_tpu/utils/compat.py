@@ -159,6 +159,65 @@ def preprocess_training_cls_data(X_train, y_train, X_test, y_test,
                       np.asarray(y_test, np.int32), batch_size)
 
 
+def preprocess_training_image_data_(images_all, labels_all,
+                                    images_test_all, labels_test_all):
+    """Validates/casts image data without batching
+    (`atomai/utils/preproc.py:204-236`). Returns the canonicalized arrays
+    plus the inferred class count."""
+    nb = _preproc.num_classes_from_labels(np.asarray(labels_all))
+    X_tr, y_tr, X_ts, y_ts = _preproc.check_image_dims(
+        images_all, labels_all, images_test_all, labels_test_all, nb)
+    X_tr, X_ts = X_tr.astype(np.float32), X_ts.astype(np.float32)
+    ydtype = np.int64 if nb > 1 else np.float32
+    return (X_tr, y_tr.astype(ydtype), X_ts, y_ts.astype(ydtype), nb)
+
+
+def preprocess_training_imspec_data_(X_train, y_train, X_test, y_test):
+    """Validates/casts im2spec / spec2im data without batching
+    (`atomai/utils/preproc.py:281-320`). Returns arrays + (in_dim, out_dim)."""
+    X_train, y_train, X_test, y_test = _preproc.check_signal_dims(
+        X_train, y_train, X_test, y_test)
+    # canonicalized to (n, h, w) images / (n, length) spectra
+    in_dim, out_dim = X_train.shape[1:], y_train.shape[1:]
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    return (f32(X_train), f32(y_train), f32(X_test), f32(y_test),
+            (in_dim, out_dim))
+
+
+def _ensure_channel_and_target_dims(X_train, y_train, X_test, y_test,
+                                    ydtype):
+    import warnings as _warnings
+    X_train, X_test = np.asarray(X_train), np.asarray(X_test)
+    y_train = np.asarray(y_train)
+    y_test = np.asarray(y_test)
+    if X_train.ndim == 3:
+        _warnings.warn("Adding a channel dimension of 1 to training images",
+                       UserWarning)
+        X_train = X_train[..., None]
+    if X_test.ndim == 3:
+        _warnings.warn("Adding a channel dimension of 1 to test images",
+                       UserWarning)
+        X_test = X_test[..., None]
+    if ydtype is np.float32 and y_train.ndim == 1:
+        y_train, y_test = y_train[:, None], y_test[:, None]
+    return (X_train.astype(np.float32), y_train.astype(ydtype),
+            X_test.astype(np.float32), y_test.astype(ydtype))
+
+
+def preprocess_training_reg_data_(X_train, y_train, X_test, y_test):
+    """Validates/casts regression data without batching
+    (`atomai/utils/preproc.py:481-530`); channel axis is NHWC-last."""
+    return _ensure_channel_and_target_dims(
+        X_train, y_train, X_test, y_test, np.float32)
+
+
+def preprocess_training_cls_data_(X_train, y_train, X_test, y_test):
+    """Validates/casts classification data without batching
+    (`atomai/utils/preproc.py:613-660`); channel axis is NHWC-last."""
+    return _ensure_channel_and_target_dims(
+        X_train, y_train, X_test, y_test, np.int64)
+
+
 from ..models.denoiser import preprocess_denoiser_data  # noqa: E402,F401
 
 

@@ -13,8 +13,9 @@ from typing import Dict, Union
 import numpy as np
 
 
-class _Progress:
-    """urlretrieve reporthook printing a simple progress line."""
+class ProgressBar:
+    """urlretrieve reporthook printing a simple progress line
+    (reference `datasets.py:89-102`, without the ``progressbar`` dep)."""
 
     def __call__(self, block_num, block_size, total_size):
         downloaded = block_num * block_size
@@ -38,7 +39,7 @@ def stem_smbfo(download: bool = True, filedir: str = "./"
         print("Downloading the dataset. This may take a few minutes.")
         url = ("https://zenodo.org/record/4876786/files/"
                "composition_series_dict_full.npy")
-        urllib.request.urlretrieve(url, fpath, _Progress())
+        urllib.request.urlretrieve(url, fpath, ProgressBar())
     return np.load(fpath, allow_pickle=True)[()]
 
 
@@ -55,5 +56,5 @@ def stem_graphene(download: bool = True, filedir: str = "./"
         print("Downloading the dataset. This may take a few minutes.")
         url = ("https://zenodo.org/record/4885132/files/"
                "graphene_imgstacks_dict.npy")
-        urllib.request.urlretrieve(url, fpath, _Progress())
+        urllib.request.urlretrieve(url, fpath, ProgressBar())
     return np.load(fpath, allow_pickle=True)[()]
