@@ -83,6 +83,7 @@ class BaseTrainer:
         self.plot_training_history = False
         self._compiled_chunk = None
         self.mesh = None
+        self.remat = False
         self._final_eval_printed = False
         # "auto": python-loop jitted steps on XLA:CPU (scan bodies run
         # single-threaded there), scan-over-cycles on accelerators.
@@ -220,6 +221,12 @@ class BaseTrainer:
                 raise ValueError("Provide training data")
             self.set_data(*train_data, **kwargs)
 
+        # Gradient rematerialization (jax.checkpoint): recompute forward
+        # activations during the backward pass instead of holding them in
+        # HBM — trades FLOPs for memory so bigger batches / image sizes fit
+        # on one chip. Exact (bit-identical gradients), off by default.
+        self.remat = bool(kwargs.get("remat", self.remat))
+
         self.perturb_weights = perturb_weights
         if self.perturb_weights:
             if self.meta_state_dict.get("batchnorm",
@@ -328,9 +335,13 @@ class BaseTrainer:
         full_epoch = self.full_epoch
         has_bn = self.batch_stats is not None
 
+        apply_train = self._apply_train
+        if self.remat:
+            apply_train = jax.checkpoint(apply_train)
+
         def loss_and_grads(params, batch_stats, X, y, key):
             def loss_fn(p):
-                out, new_bs = self._apply_train(p, batch_stats, X, y, key)
+                out, new_bs = apply_train(p, batch_stats, X, y, key)
                 return criterion(out, y), (out, new_bs)
             (loss, (out, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)

@@ -158,6 +158,11 @@ class viBaseTrainer:
         # multi-device hosts; mesh=False opts out.
         self.mesh = resolve_data_mesh(kwargs.get("mesh", self.mesh),
                                       batch_size)
+        # jax.checkpoint over the ELBO forward: recompute activations in
+        # the backward pass (exact gradients, less HBM) — same contract as
+        # BaseTrainer's remat kwarg
+        self.remat = bool(kwargs.get("remat", getattr(self, "remat",
+                                                      False)))
         if elbo_fn is not None:
             self.elbo_fn = elbo_fn
         if test_data is not None and test_data[0] is not None:
@@ -243,9 +248,14 @@ class viBaseTrainer:
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, spec))
 
+        elbo_forward = self.forward_compute_elbo_fn
+        if getattr(self, "remat", False):
+            elbo_forward = jax.checkpoint(elbo_forward,
+                                          static_argnums=(5,))
+
         def batch_step(params, opt_state, x_i, y_i, k_i, num_iter):
             def loss_fn(p):
-                elbo = self.forward_compute_elbo_fn(
+                elbo = elbo_forward(
                     p, x_i, y_i, k_i, num_iter, True)
                 return -elbo, elbo
 

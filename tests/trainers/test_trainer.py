@@ -196,3 +196,39 @@ def test_full_epoch_bytes_accounting():
     # eval (forward-only) must cost fewer bytes than a train step —
     # the property the old (tb+eb)*(nb_tr+nb_ts) scaling violated
     assert eb < tb
+
+
+class TestRemat:
+    """remat=True (jax.checkpoint over the forward) must reproduce the
+    non-remat training trajectory exactly — rematerialization changes
+    memory use, never values."""
+
+    def test_remat_trajectory_parity(self):
+        X, y, Xt, yt = _data()
+        histories, finals = [], []
+        for remat in (False, True):
+            t = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1],
+                          seed=7)
+            t.fit(X, y, Xt, yt, training_cycles=6, batch_size=4,
+                  print_loss=6, filename="/tmp/aoi_remat", mesh=False,
+                  remat=remat)
+            histories.append(np.asarray(t.loss_acc["train_loss"]))
+            finals.append(t.params)
+        np.testing.assert_allclose(histories[0], histories[1],
+                                   rtol=1e-6, atol=1e-7)
+        assert _params_equal(finals[0], finals[1])
+
+    def test_remat_vae(self):
+        from atomai_tpu.models import rVAE
+        rng = np.random.RandomState(3)
+        Xv = rng.rand(32, 16, 16).astype(np.float32)
+        elbos = []
+        for remat in (False, True):
+            v = rVAE((16, 16), latent_dim=2, seed=5,
+                     numlayers_encoder=1, numhidden_encoder=16,
+                     numlayers_decoder=1, numhidden_decoder=16)
+            v.fit(Xv, training_cycles=2, batch_size=16, mesh=False,
+                  remat=remat)
+            elbos.append(np.asarray(v.loss_history["train_loss"]))
+        np.testing.assert_allclose(elbos[0], elbos[1], rtol=1e-5,
+                                   atol=1e-6)
