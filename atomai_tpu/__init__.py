@@ -33,8 +33,10 @@ from . import predictors
 from . import models
 from . import stat
 from .models import load_model, load_ensemble
+from .core.export import export_model, load_exported
 from .__version__ import version as __version__
 
 __all__ = ["core", "models", "trainers", "predictors", "nets", "utils",
            "transforms", "stat", "losses_metrics", "load_model",
-           "load_ensemble", "__version__"]
+           "load_ensemble", "export_model", "load_exported",
+           "__version__"]
