@@ -106,6 +106,10 @@ def export_model(model, filename: str,
 
 
 def _infer_example_shape(model) -> Tuple[int, ...]:
+    """Per-sample input shape as the model's trainer stages it. The
+    staged-data path and the metadata fallback MUST agree — otherwise the
+    same model would export incompatible artifacts depending on whether
+    training data is still attached."""
     meta = getattr(model, "meta_state_dict", {}) or {}
     staged = getattr(model, "Xb_train", None)
     if staged is not None:
@@ -113,7 +117,10 @@ def _infer_example_shape(model) -> Tuple[int, ...]:
     in_dim = meta.get("in_dim")
     if in_dim:
         in_dim = tuple(int(s) for s in in_dim)
-        # image models take NHWC; spectra (1D) take (length, 1)
+        # imspec nets consume the staged (h, w)/(length,) signal directly;
+        # image models stage NHWC with an explicit channel axis
+        if meta.get("model_type") == "imspec":
+            return in_dim
         return in_dim + (1,) if len(in_dim) in (1, 2) else in_dim
     raise ValueError(
         "Could not infer the input shape — pass example_shape=(H, W, C)")
@@ -144,21 +151,32 @@ class ExportedModel:
                  for i in range(x.shape[0])])
         return self._exported.call(x)
 
+    def _canonicalize(self, x: np.ndarray) -> np.ndarray:
+        """Reshapes input to (N,) + example_shape: adds a missing batch
+        axis, and adds or squeezes a singleton channel axis to match what
+        the exported program was traced with."""
+        es = self.example_shape
+        if x.shape[1:] == es:
+            return x
+        if x.shape == es:
+            return x[None]
+        if x.ndim >= 1 and x.shape[1:] + (1,) == es:
+            return x[..., None]                       # (N, H, W) -> NHW1
+        if x.shape + (1,) == es:
+            return x[None, ..., None]                 # (H, W) -> 1HW1
+        if x.shape[-1] == 1 and x.shape[1:-1] == es:
+            return x[..., 0]                          # NHW1 -> (N, H, W)
+        if x.shape[-1] == 1 and x.shape[:-1] == es:
+            return x[..., 0][None]                    # HW1 -> (1, H, W)
+        raise ValueError(
+            f"Input shape {x.shape} does not match the exported "
+            f"program's per-sample shape {es}")
+
     def predict(self, imgs, norm: bool = True, max_batch: int = 32
                 ) -> np.ndarray:
         """Batched eval-mode forward with the library's input conventions
         (float32 NHWC, per-stack min-max normalization)."""
-        x = np.asarray(imgs, np.float32)
-        ndim_sample = len(self.example_shape)
-        nchan = self.example_shape[-1]
-        if x.shape[-1] != nchan:
-            x = x[..., None]          # add the channel axis
-        if x.ndim == ndim_sample:
-            x = x[None]               # add the batch axis
-        if x.shape[1:] != self.example_shape:
-            raise ValueError(
-                f"Input sample shape {x.shape[1:]} does not match the "
-                f"exported program's {self.example_shape}")
+        x = self._canonicalize(np.asarray(imgs, np.float32))
         if norm:
             lo, hi = x.min(), x.max()
             if hi > lo:
@@ -171,11 +189,19 @@ class ExportedModel:
 
 def load_exported(filename: str) -> ExportedModel:
     """Loads a serving artifact written by :func:`export_model`."""
-    with open(filename, "rb") as f:
-        (hlen,) = struct.unpack("<Q", f.read(8))
-        header = json.loads(f.read(hlen).decode("utf-8"))
-        payload = f.read()
-    if header.get("magic") != _MAGIC_KEY:
+    try:
+        with open(filename, "rb") as f:
+            head = f.read(8)
+            (hlen,) = struct.unpack("<Q", head)
+            header = json.loads(f.read(hlen).decode("utf-8"))
+            payload = f.read()
+        if not isinstance(header, dict):
+            raise ValueError
+        magic_ok = header.get("magic") == _MAGIC_KEY
+    except (struct.error, UnicodeDecodeError, json.JSONDecodeError,
+            OverflowError, MemoryError, ValueError):
+        raise ValueError(f"{filename} is not an atomai_tpu export")
+    if not magic_ok:
         raise ValueError(f"{filename} is not an atomai_tpu export")
     exported = jexport.deserialize(payload)
     return ExportedModel(header, exported)

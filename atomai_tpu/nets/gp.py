@@ -153,7 +153,6 @@ class GPRegressionModel:
         self.feature_extractor = feature_extractor or fcFeatureExtractor(
             self.X.shape[-1], embedim)
         self.kernel = rbf_kernel
-        self.scale_stats = None
 
     def init(self, key) -> dict:
         """Initializes {"fe": ..., "gp": ...} parameter pytrees; GP
@@ -162,21 +161,28 @@ class GPRegressionModel:
         gp = init_gp_params(self.embedim, (self.batch_dim,))
         return {"fe": fe, "gp": gp}
 
-    def embed(self, params, x):
+    def train_stats(self, params):
+        """ScaleToBounds statistics of the CURRENT params' training-set
+        embedding. Recomputed per call (pure — no cached state, so the
+        class is safe under jit/grad and never serves stale stats after
+        an optimizer update); pass the result to :meth:`embed` to
+        amortize it across prediction batches."""
+        emb = self.feature_extractor.apply({"params": params["fe"]},
+                                           self.X)
+        return compute_bounds_stats(emb)
+
+    def embed(self, params, x, stats=None):
         emb = self.feature_extractor.apply({"params": params["fe"]}, x)
-        if self.scale_stats is None:
-            self.scale_stats = compute_bounds_stats(
-                self.feature_extractor.apply({"params": params["fe"]},
-                                             self.X))
-        return scale_to_bounds(emb, stats=self.scale_stats)
+        return scale_to_bounds(
+            emb, stats=self.train_stats(params) if stats is None else stats)
 
     def forward(self, params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """GP prior at the embedded inputs: (mean, cov), batched over
         outputs — the functional analog of the reference's ``forward``
         returning a MultivariateNormal."""
+        from ..trainers.gptrainer import _hyp
         emb = self.embed(params, x)
-        ls, os_ = softplus(params["gp"]["raw_lengthscale"]), \
-            softplus(params["gp"]["raw_outputscale"])
+        ls, os_, _, _ = _hyp(params["gp"])
         cov = self.kernel(emb[None], emb[None], ls, os_)
         mean = jnp.broadcast_to(params["gp"]["mean_const"][:, None],
                                 (self.batch_dim, emb.shape[0]))
@@ -245,13 +251,10 @@ class CustomGPModel:
 
     def forward(self, params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """GP prior (mean, cov) at x."""
+        from ..trainers.gptrainer import _hyp
         x = jnp.asarray(x, jnp.float32)
-        ls, os_ = softplus(params["raw_lengthscale"]), \
-            softplus(params["raw_outputscale"])
-        if self.lengthscale_constraints is not None:
-            ls = constrain(params["raw_lengthscale"],
-                           self.lengthscale_constraints[0],
-                           self.lengthscale_constraints[1])
+        # the same raw->constrained mapping the fitted objective uses
+        ls, os_, _, _ = _hyp(params, self.lengthscale_constraints)
         cov = self.kernel(x, x, ls[None], os_[None])[0]
         mean = jnp.broadcast_to(params["mean_const"], (x.shape[0],))
         return mean, cov

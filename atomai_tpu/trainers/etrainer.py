@@ -49,9 +49,8 @@ def set_data_seg(X_train, y_train, X_test=None, y_test=None,
             kwargs.get("seed", 1))
     X_train, y_train, X_test, y_test = preproc.check_image_dims(
         X_train, y_train, X_test, y_test, nb_classes)
-    ydtype = np.int64 if nb_classes > 1 else np.float32
-    return (X_train.astype(np.float32), y_train.astype(ydtype),
-            X_test.astype(np.float32), y_test.astype(ydtype))
+    return preproc.cast_image_arrays(X_train, y_train, X_test, y_test,
+                                     nb_classes)
 
 
 def set_data_imspec(X_train, y_train, X_test=None, y_test=None,
@@ -131,6 +130,7 @@ class BaseEnsembleTrainer(BaseTrainer):
         self.kdict["mesh"] = False
         self.full_epoch = self.kdict.get("full_epoch", False)
         self.batch_size = self.kdict.get("batch_size", 32)
+        self.remat = bool(self.kdict.get("remat", False))
         self.kdict["overwrite_train_data"] = False
 
     def _resolve_mesh(self, n_models: int):
@@ -285,17 +285,26 @@ class BaseEnsembleTrainer(BaseTrainer):
             if augment_fn is not None:
                 X, y = augment_fn(k_aug, X, y)
 
-            def loss_fn(p):
+            def apply_train(p, bs_in, X_in, k_in):
                 variables = {"params": p}
                 if has_bn:
-                    variables["batch_stats"] = batch_stats
+                    variables["batch_stats"] = bs_in
                     out, mut = self.net.apply(
-                        variables, X, True, mutable=["batch_stats"],
-                        rngs={"dropout": k_drop})
-                    return criterion(out, y), mut["batch_stats"]
-                out = self.net.apply(variables, X, True,
-                                     rngs={"dropout": k_drop})
-                return criterion(out, y), batch_stats
+                        variables, X_in, True, mutable=["batch_stats"],
+                        rngs={"dropout": k_in})
+                    return out, mut["batch_stats"]
+                out = self.net.apply(variables, X_in, True,
+                                     rngs={"dropout": k_in})
+                return out, bs_in
+
+            if getattr(self, "remat", False):
+                # N members' activations are resident at once — the
+                # highest-HBM-pressure path, so honor fit(remat=True) here
+                apply_train = jax.checkpoint(apply_train)
+
+            def loss_fn(p):
+                out, new_bs = apply_train(p, batch_stats, X, k_drop)
+                return criterion(out, y), new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)

@@ -165,11 +165,9 @@ def preprocess_training_image_data_(images_all, labels_all,
     (`atomai/utils/preproc.py:204-236`). Returns the canonicalized arrays
     plus the inferred class count."""
     nb = _preproc.num_classes_from_labels(np.asarray(labels_all))
-    X_tr, y_tr, X_ts, y_ts = _preproc.check_image_dims(
+    arrays = _preproc.check_image_dims(
         images_all, labels_all, images_test_all, labels_test_all, nb)
-    X_tr, X_ts = X_tr.astype(np.float32), X_ts.astype(np.float32)
-    ydtype = np.int64 if nb > 1 else np.float32
-    return (X_tr, y_tr.astype(ydtype), X_ts, y_ts.astype(ydtype), nb)
+    return (*_preproc.cast_image_arrays(*arrays, nb), nb)
 
 
 def preprocess_training_imspec_data_(X_train, y_train, X_test, y_test):
@@ -213,9 +211,10 @@ def preprocess_training_reg_data_(X_train, y_train, X_test, y_test):
 
 def preprocess_training_cls_data_(X_train, y_train, X_test, y_test):
     """Validates/casts classification data without batching
-    (`atomai/utils/preproc.py:613-660`); channel axis is NHWC-last."""
+    (`atomai/utils/preproc.py:613-660`); channel axis is NHWC-last,
+    labels int32 (the package convention)."""
     return _ensure_channel_and_target_dims(
-        X_train, y_train, X_test, y_test, np.int64)
+        X_train, y_train, X_test, y_test, np.int32)
 
 
 from ..models.denoiser import preprocess_denoiser_data  # noqa: E402,F401

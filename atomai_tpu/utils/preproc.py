@@ -100,6 +100,16 @@ def check_signal_dims(X_train, y_train, X_test, y_test
     return X_train, y_train, X_test, y_test
 
 
+def cast_image_arrays(X_train, y_train, X_test, y_test, num_classes: int
+                      ) -> Tuple[np.ndarray, ...]:
+    """Canonical training dtypes: float32 images; int32 multiclass masks
+    (the package-wide label dtype — jax downcasts int64 anyway with x64
+    disabled) or float32 binary masks."""
+    ydtype = np.int32 if num_classes > 1 else np.float32
+    return (np.asarray(X_train, np.float32), np.asarray(y_train, ydtype),
+            np.asarray(X_test, np.float32), np.asarray(y_test, ydtype))
+
+
 def format_image(image_data: np.ndarray, norm: bool = True) -> np.ndarray:
     """NHWC float32 images, optionally min-max normalized to (0, 1)
     (`preproc.py:798-826` torch_format_image equivalent)."""

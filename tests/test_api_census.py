@@ -73,7 +73,7 @@ def test_preprocess_underscore_variants():
     y = np.random.randint(0, 3, (10, 8, 8))
     out = utils.preprocess_training_image_data_(X, y, X[:4], y[:4])
     X_tr, y_tr, X_ts, y_ts, nb = out
-    assert nb == 3 and y_tr.dtype == np.int64 and X_tr.shape[-1] == 1
+    assert nb == 3 and y_tr.dtype == np.int32 and X_tr.shape[-1] == 1
 
     Xs = np.random.rand(10, 8, 8)
     ys = np.random.rand(10, 16)
@@ -91,7 +91,7 @@ def test_preprocess_underscore_variants():
     yc = np.random.randint(0, 2, (10,))
     X_tr, y_tr, X_ts, y_ts = utils.preprocess_training_cls_data_(
         Xr, yc, Xr[:4], yc[:4])
-    assert y_tr.dtype == np.int64 and y_tr.shape == (10,)
+    assert y_tr.dtype == np.int32 and y_tr.shape == (10,)
 
 
 def test_custom_gp_model_exact_and_kissgp():
@@ -130,3 +130,29 @@ def test_gp_regression_model_forward():
     e1 = m.embed(params, X[:1])
     e2 = m.embed(params, X[:6])[:1]
     assert np.allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+
+
+def test_gp_regression_model_pure_under_transforms():
+    """train_stats/embed must be pure: usable under jit/grad with no
+    cached tracer state, and never stale after a params update."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    X = rng.rand(20, 4).astype(np.float32)
+    y = rng.rand(1, 20).astype(np.float32)
+    m = nets.GPRegressionModel(X, y, embedim=2)
+    params = m.init(jax.random.PRNGKey(0))
+
+    def loss(p):
+        mean, cov = m.forward(p, X[:4])
+        return jnp.sum(mean) + jnp.sum(cov)
+
+    g = jax.grad(loss)(params)          # traced call first
+    e_after = m.embed(params, X[:3])    # eager call after the trace
+    assert np.all(np.isfinite(np.asarray(e_after)))
+    # stats follow the CURRENT params: perturbing fe changes the scaling
+    params2 = jax.tree.map(lambda a: a + 0.5, params)
+    s1 = m.train_stats(params)
+    s2 = m.train_stats(params2)
+    assert not np.allclose(np.asarray(s1[0]), np.asarray(s2[0]))
+    del g

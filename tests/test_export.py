@@ -79,6 +79,45 @@ def test_export_header_metadata(trained_seg, tmp_path):
 
 def test_export_requires_initialized_model():
     m = aoi.models.Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
-    if m.params is None:
-        with pytest.raises(ValueError, match="initialized"):
-            aoi.export_model(m, "/tmp/never")
+    assert m.params is None  # guard: construction must not init params
+    with pytest.raises(ValueError, match="initialized"):
+        aoi.export_model(m, "/tmp/never")
+
+
+def test_load_exported_rejects_foreign_files(tmp_path):
+    short = tmp_path / "short.aot"
+    short.write_bytes(b"abc")
+    with pytest.raises(ValueError, match="not an atomai_tpu export"):
+        aoi.load_exported(str(short))
+    binary = tmp_path / "junk.aot"
+    binary.write_bytes(b"\xff" * 64)
+    with pytest.raises(ValueError, match="not an atomai_tpu export"):
+        aoi.load_exported(str(binary))
+
+
+def test_export_imspec_shape_inference_consistent(tmp_path):
+    """Staged-data and metadata shape inference must produce the same
+    artifact input layout (channel-less imspec signals)."""
+    rng = np.random.RandomState(0)
+    X = rng.rand(12, 8, 8).astype(np.float32)
+    y = rng.rand(12, 16).astype(np.float32)
+    m = aoi.models.ImSpec((8, 8), (16,), latent_dim=2)
+    m.fit(X, y, X[:4], y[:4], training_cycles=2, batch_size=4,
+          print_loss=2, mesh=False,
+          filename=str(tmp_path / "ims"))
+    p1 = aoi.export_model(m, str(tmp_path / "staged"), platforms=("cpu",))
+    # simulate a reloaded model: no staged data, metadata only
+    from atomai_tpu.core.export import _infer_example_shape
+
+    class _Shell:
+        net, params = m.net, m.params
+        batch_stats = m.batch_stats
+        meta_state_dict = {"model_type": "imspec", "in_dim": (8, 8)}
+        Xb_train = None
+    assert _infer_example_shape(_Shell()) == \
+        tuple(int(s) for s in m.Xb_train.shape[2:])
+    served = aoi.load_exported(p1)
+    # NHW and NHW1 both accepted for a channel-less program
+    out = served.predict(X[:3], norm=False)
+    out2 = served.predict(X[:3][..., None], norm=False)
+    np.testing.assert_allclose(out, out2, rtol=1e-6)

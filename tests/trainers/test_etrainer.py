@@ -199,13 +199,41 @@ def test_member_layout_parity(seg_data, tmp_path):
     # gradient whose SIGN flips between lowerings drifts that element by
     # ~lr per cycle. Assert the loss trajectories match tightly and that
     # the overwhelming majority of parameters agree elementwise.
-    lm = np.asarray(et_m.loss_acc["train_loss"])
-    lv = np.asarray(et_v.loss_acc["train_loss"])
-    np.testing.assert_allclose(lm, lv, rtol=1e-3)
+    _assert_trajectory_and_params(et_m, et_v, ens_m, ens_v)
+
+
+def test_ensemble_remat_trajectory_parity(seg_data, tmp_path):
+    """fit(remat=True) on the ensemble engine (jax.checkpoint around the
+    member forward) must reproduce the non-remat training trajectory.
+    Rematerialization recomputes the forward with a slightly different
+    fusion plan, so the last-ulp rounding of near-zero gradients can
+    differ (Adam then drifts those elements by ~lr) — the same
+    phenomenon, and the same tolerances, as the layout-parity test."""
+    imgs, masks = seg_data
+
+    def train(remat):
+        et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                             layers=[1, 1, 1, 1])
+        et.compile_ensemble_trainer(training_cycles=6, batch_size=4,
+                                    filename=str(tmp_path / f"r{remat}"),
+                                    remat=remat)
+        _, ens = et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+        return et, ens
+
+    et_a, ens_a = train(False)
+    et_b, ens_b = train(True)
+    assert et_b.remat
+    _assert_trajectory_and_params(et_a, et_b, ens_a, ens_b)
+
+
+def _assert_trajectory_and_params(et_a, et_b, ens_a, ens_b):
+    la = np.asarray(et_a.loss_acc["train_loss"])
+    lb = np.asarray(et_b.loss_acc["train_loss"])
+    np.testing.assert_allclose(la, lb, rtol=1e-3)
     close = total = 0
-    for m in range(2):
-        for a, b in zip(jax.tree.leaves(ens_m[m]),
-                        jax.tree.leaves(ens_v[m])):
+    for m in range(len(ens_a)):
+        for a, b in zip(jax.tree.leaves(ens_a[m]),
+                        jax.tree.leaves(ens_b[m])):
             a, b = np.asarray(a), np.asarray(b)
             close += np.sum(np.abs(a - b) <= 1e-5 + 1e-3 * np.abs(b))
             total += a.size
