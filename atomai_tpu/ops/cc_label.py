@@ -30,6 +30,12 @@ import jax.numpy as jnp
 # int32 flat indices (headroom below 2^31 for the background sentinel)
 _INT32_SAFE_PIXELS = 2 ** 31 - 2 ** 20
 
+# HBM cap on one tiled chunk: the program holds ~5 O(pixels) buffers at
+# peak (int32 labels + mask + three float32 segment sums, plus while-loop
+# temporaries), ~48 B/px — 2^26 px keeps the op around 3 GB so it shares
+# a 16 GB chip with resident model/data. Overridable for big-HBM parts.
+_TILED_PIXEL_BUDGET = 2 ** 26
+
 
 def _neighbor_min(lab: jnp.ndarray, big: jnp.int32) -> jnp.ndarray:
     """Min over the 4-neighborhood (plus self) with BIG padding."""
@@ -86,23 +92,30 @@ def label_components(mask: jnp.ndarray, max_iters: int = 4096
     return lab
 
 
-@jax.jit
-def _blob_moments(lab: jnp.ndarray
+@partial(jax.jit, static_argnames=("band",))
+def _blob_moments(lab: jnp.ndarray, band: int = 0
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-root pixel counts / first moments via segment_sum. Three 1D
     scatters: fusing into one (H*W, 3) scatter pads the 3-wide lane
-    dimension to 128 on TPU (42x write inflation, ~8x slower)."""
+    dimension to 128 on TPU (42x write inflation, ~8x slower).
+
+    ``band`` > 0 (the tiled-stack path) accumulates BAND-LOCAL row
+    indices: global tiled rows reach N*(H+1), so their weighted sums
+    overflow float32's 2^24 integer-exact range and CoMs would drift
+    with frame index. Row iotas are int32 (exact) until the final cast;
+    local rows stay < band, so the sums stay exact."""
     H, W = lab.shape
     flat_lab = jnp.minimum(lab.reshape(-1), H * W)
     n_seg = H * W + 1
     ones = (flat_lab < H * W).astype(jnp.float32)
-    # 2D iota, NOT a flat arange: float32 is integer-exact only to 2^24,
-    # and tall tiled stacks (blob_centers_tiled) exceed 2^24 pixels —
-    # flat-index division there would drift row coordinates near the top
-    rows = jax.lax.broadcasted_iota(
-        jnp.float32, (H, W), 0).reshape(-1) * ones
+    # int32 2D iota, NOT a float flat arange: float32 is integer-exact
+    # only to 2^24 and tall tiled stacks exceed 2^24 rows*pixels
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    if band:
+        rows_i = rows_i % band
+    rows = rows_i.reshape(-1).astype(jnp.float32) * ones
     cols = jax.lax.broadcasted_iota(
-        jnp.float32, (H, W), 1).reshape(-1) * ones
+        jnp.int32, (H, W), 1).reshape(-1).astype(jnp.float32) * ones
     counts = jax.ops.segment_sum(ones, flat_lab, num_segments=n_seg)
     row_sum = jax.ops.segment_sum(rows, flat_lab, num_segments=n_seg)
     col_sum = jax.ops.segment_sum(cols, flat_lab, num_segments=n_seg)
@@ -111,6 +124,9 @@ def _blob_moments(lab: jnp.ndarray
 
 @partial(jax.jit, static_argnames=("max_blobs", "hw"))
 def _blob_extract(counts, row_sum, col_sum, max_blobs: int, hw: int):
+    """Returns (coords, sizes, valid, roots): ``roots`` is each blob's
+    root label (minimal flat pixel index), exact int32 — the tiled path
+    derives frame indices from it."""
     counts = counts[:-1]
     root_idx = jnp.nonzero(counts > 0, size=max_blobs, fill_value=hw)[0]
     valid = root_idx < hw
@@ -121,7 +137,7 @@ def _blob_extract(counts, row_sum, col_sum, max_blobs: int, hw: int):
     coords = jnp.stack([cy, cx], axis=-1)
     coords = jnp.where(valid[:, None], coords, 0.0)
     sizes = jnp.where(valid, c.astype(jnp.int32), 0)
-    return coords, sizes, valid
+    return coords, sizes, valid, root_idx
 
 
 def blob_centers(mask: jnp.ndarray, max_blobs: int = 2048
@@ -146,7 +162,7 @@ def blob_centers(mask: jnp.ndarray, max_blobs: int = 2048
     from .pallas_cc import label_components_auto
     lab = label_components_auto(mask)
     counts, row_sum, col_sum = _blob_moments(lab)
-    return _blob_extract(counts, row_sum, col_sum, max_blobs, H * W)
+    return _blob_extract(counts, row_sum, col_sum, max_blobs, H * W)[:3]
 
 
 def find_com_device(image_data: jnp.ndarray, max_blobs: int = 2048):
@@ -191,11 +207,12 @@ def blob_centers_tiled(masks: jnp.ndarray, max_blobs_total: int = 65536
     concatenating :func:`blob_centers` results frame by frame.
     """
     N, H, W = masks.shape
-    # the labeler's root labels are int32 FLAT indices of the tiled
-    # image: chunk very long stacks so each tiled chunk stays within
-    # int32 (the per-frame path bounded indices by one frame and never
-    # hit this; e.g. a 512-frame 2048^2 movie crosses 2^31 pixels)
-    max_frames = max(1, _INT32_SAFE_PIXELS // ((H + 1) * W))
+    # chunk long stacks on two bounds: the labeler's root labels are
+    # int32 FLAT indices of the tiled image (a 512-frame 2048^2 movie
+    # crosses 2^31 pixels), and the program's ~5 O(pixels) buffers must
+    # fit in HBM alongside the resident model (_TILED_PIXEL_BUDGET)
+    max_frames = max(
+        1, min(_INT32_SAFE_PIXELS, _TILED_PIXEL_BUDGET) // ((H + 1) * W))
     if N > max_frames:
         import numpy as _np
         pcs, pfs, pss = [], [], []
@@ -221,14 +238,14 @@ def blob_centers_tiled(masks: jnp.ndarray, max_blobs_total: int = 65536
         N * (H + 1), W)
     from .pallas_cc import label_components_auto
     lab = label_components_auto(tiled)
-    counts, row_sum, col_sum = _blob_moments(lab)
-    coords, sizes, valid = _blob_extract(
+    # band-local row moments: global tiled row sums overflow float32's
+    # integer-exact range on long stacks (CoM drift ~frame_index*eps)
+    counts, row_sum, col_sum = _blob_moments(lab, band=H + 1)
+    local, sizes, valid, roots = _blob_extract(
         counts, row_sum, col_sum, max_blobs_total, N * (H + 1) * W)
-    # a blob's row CoM stays inside its frame's band of rows, so the band
-    # index recovers the frame and the remainder the local row
-    frames = (coords[:, 0] // (H + 1)).astype(jnp.int32)
-    local = jnp.stack([coords[:, 0] - frames * (H + 1), coords[:, 1]],
-                      axis=-1)
+    # the root label is the blob's minimal flat pixel index — exact
+    # int32 arithmetic recovers the frame (no float row division)
+    frames = (roots // W) // (H + 1)
     local = jnp.where(valid[:, None], local, 0.0)
     frames = jnp.where(valid, frames, -1)
     return local, frames, sizes, valid

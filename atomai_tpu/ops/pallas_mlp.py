@@ -59,8 +59,15 @@ def _layout(B, n):
     if n <= MAX_TILE:
         tile = n
     else:
-        tile = max(t for t in range(ROW_ALIGN, MAX_TILE + 1, ROW_ALIGN)
-                   if n % t == 0)
+        tiles = [t for t in range(ROW_ALIGN, MAX_TILE + 1, ROW_ALIGN)
+                 if n % t == 0]
+        if not tiles:
+            raise ValueError(
+                f"spatial_mlp: {n} pixel rows > {MAX_TILE} must be "
+                f"divisible by a multiple of {ROW_ALIGN} (<= {MAX_TILE}) "
+                "to tile the grid; pad the pixel grid or use "
+                "spatial_mlp_reference")
+        tile = max(tiles)
     S = 1
     if tile == n:
         S = max(1, TARGET_ROWS // n)

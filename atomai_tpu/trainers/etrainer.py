@@ -121,13 +121,16 @@ class BaseEnsembleTrainer(BaseTrainer):
         :meth:`_member_layout`).
         """
         # member-sharding mesh; kept separate from BaseTrainer.mesh (the
-        # batch/DP mesh used by _shard_stacked)
+        # batch/DP mesh used by _shard_stacked). mesh=False disables ALL
+        # parallelism, including the baseline fit's auto data mesh.
         self.member_mesh = kwargs.pop("mesh", None)
         self.kdict = kwargs
-        # the ensemble engine parallelizes over the MEMBER axis (shard_map
-        # with replicated batches); disable BaseTrainer's auto data mesh so
-        # the staged batches are not committed to a competing mesh
-        self.kdict["mesh"] = False
+        # member training parallelizes over the MEMBER axis (shard_map
+        # with replicated batches) — staged batches must not be committed
+        # to a competing data mesh there; single-model baseline/SWAG fits
+        # have no member axis and DO use the auto data mesh (train_baseline
+        # normalizes placement afterwards)
+        self.kdict.pop("mesh", None)
         self.full_epoch = self.kdict.get("full_epoch", False)
         self.batch_size = self.kdict.get("batch_size", 32)
         self.remat = bool(self.kdict.get("remat", False))
@@ -216,7 +219,7 @@ class BaseEnsembleTrainer(BaseTrainer):
         swa_cycles = min(30, cycles)
         engine_key = (n_models, cycles, has_bn, bool(swa), id(augment_fn),
                       id(criterion), tuple(Xb.shape), tuple(yb.shape),
-                      mesh, self._member_layout())
+                      mesh, self._member_layout(), self.remat)
         cache = getattr(self, "_ens_engines", None)
         if cache is None:
             cache = self._ens_engines = {}
@@ -403,10 +406,25 @@ class BaseEnsembleTrainer(BaseTrainer):
         self.tx = None
         self.opt_state = None
         self.params = None
-        self.compile_trainer((X_train, y_train, X_test, y_test),
-                             **self.kdict)
+        # the single-model fit has no member axis: let it data-shard over
+        # the auto mesh (unless the user disabled parallelism outright)
+        kd = dict(self.kdict)
+        kd["mesh"] = False if self.member_mesh is False else None
+        self.compile_trainer((X_train, y_train, X_test, y_test), **kd)
         self.data_augmentation(augment_fn)
         self.fit()
+        if self.mesh is not None:
+            # de-commit trained state and staged batches from the data
+            # mesh so the member phase (shard_map over the MEMBER axis)
+            # can place them on its own mesh without device conflicts
+            self.params = jax.device_get(self.params)
+            if self.batch_stats is not None:
+                self.batch_stats = jax.device_get(self.batch_stats)
+            if getattr(self, "running_weights_stats", None) is not None:
+                self.running_weights_stats = jax.device_get(
+                    self.running_weights_stats)
+            self.Xb_train = jnp.asarray(jax.device_get(self.Xb_train))
+            self.yb_train = jnp.asarray(jax.device_get(self.yb_train))
         return self.net
 
     def train_ensemble_from_scratch(self, X_train, y_train, X_test=None,
@@ -517,9 +535,12 @@ class BaseEnsembleTrainer(BaseTrainer):
         return members
 
     def _prepare(self, X_train, y_train, X_test, y_test):
-        """Stages data + loss + model (without running a fit)."""
+        """Stages data + loss + model for MEMBER training (no fit):
+        batches must stay off any data mesh — the member engine
+        shard_maps over the member axis with replicated batches."""
         kd = {k: v for k, v in self.kdict.items()}
         kd["training_cycles"] = 1
+        kd["mesh"] = False
         self.compile_trainer((X_train, y_train, X_test, y_test), **kd)
 
     def update_training_parameters(self, kwargs) -> None:

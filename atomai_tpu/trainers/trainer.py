@@ -83,6 +83,10 @@ class BaseTrainer:
         self.plot_training_history = False
         self._compiled_chunk = None
         self.mesh = None
+        # the user's raw mesh preference (None=auto / False=disabled /
+        # Mesh) — kept apart from the RESOLVED self.mesh so an explicit
+        # mesh=False survives later compile calls that omit the kwarg
+        self._mesh_pref = None
         self.remat = False
         self._final_eval_printed = False
         # "auto": python-loop jitted steps on XLA:CPU (scan bodies run
@@ -209,8 +213,9 @@ class BaseTrainer:
         # over its "data" axis (XLA inserts the gradient psum). Pass
         # mesh=False to opt out, or a jax.sharding.Mesh to control layout.
         from ..core.mesh import resolve_data_mesh
-        self.mesh = resolve_data_mesh(kwargs.get("mesh", self.mesh),
-                                      batch_size)
+        self._mesh_pref = kwargs.get(
+            "mesh", getattr(self, "_mesh_pref", None))
+        self.mesh = resolve_data_mesh(self._mesh_pref, batch_size)
 
         if self.data_is_set:
             if kwargs.get("overwrite_train_data", True) and \

@@ -57,6 +57,9 @@ class viBaseTrainer:
         self.training_cycles = 1
         self.batch_size = 1
         self.mesh = None
+        # raw preference (None/False/Mesh), kept apart from the resolved
+        # mesh so an explicit mesh=False survives later compile calls
+        self._mesh_pref = None
         self._train_epoch_fn = None
         self._eval_epoch_fn = None
 
@@ -156,8 +159,9 @@ class viBaseTrainer:
         # reference hot loop this engine replaces is single-device,
         # `atomai/trainers/vitrainer.py:292-318`). Default: auto-build on
         # multi-device hosts; mesh=False opts out.
-        self.mesh = resolve_data_mesh(kwargs.get("mesh", self.mesh),
-                                      batch_size)
+        self._mesh_pref = kwargs.get(
+            "mesh", getattr(self, "_mesh_pref", None))
+        self.mesh = resolve_data_mesh(self._mesh_pref, batch_size)
         # jax.checkpoint over the ELBO forward: recompute activations in
         # the backward pass (exact gradients, less HBM) — same contract as
         # BaseTrainer's remat kwarg

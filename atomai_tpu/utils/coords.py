@@ -153,7 +153,9 @@ def get_intensities_(coordinates: np.ndarray, img: np.ndarray, r: int = 3
     a summed-area table: each window mean is four lookups into the 2D
     cumulative sum instead of a python-loop crop. Windows are clipped to
     the image bounds (off-edge atoms average their in-bounds pixels; the
-    reference's raw slicing yields NaN there)."""
+    reference's raw slicing yields NaN there). A window with NO in-bounds
+    pixels yields NaN — fabricating 0.0 would confidently classify an
+    invalid (e.g. drift-extrapolated) coordinate as a dim atom."""
     img = np.asarray(img, np.float64)
     if img.ndim == 3:
         img = img.mean(-1)
@@ -168,8 +170,10 @@ def get_intensities_(coordinates: np.ndarray, img: np.ndarray, r: int = 3
     y0 = np.clip(lo[:, 1], 0, W)
     y1 = np.clip(hi[:, 1], 0, W)
     sums = (sat[x1, y1] - sat[x0, y1] - sat[x1, y0] + sat[x0, y0])
-    counts = np.maximum((x1 - x0) * (y1 - y0), 1)
-    return sums / counts
+    counts = (x1 - x0) * (y1 - y0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = sums / counts
+    return np.where(counts > 0, means, np.nan)
 
 
 def get_intensities(coordinates_all: Dict[int, np.ndarray],

@@ -92,6 +92,52 @@ def test_blob_centers_tiled_chunked_matches_single(monkeypatch):
         np.testing.assert_allclose(g, r, atol=1e-4)
 
 
+def test_blob_centers_tiled_deep_stack_exact():
+    """CoMs of blobs in LATE frames of a deep stack must be exact: the
+    tiled image's global row indices produce weighted sums beyond
+    float32's 2^24 integer-exact range (here ~3.3e7), so moments must
+    accumulate frame-local rows and recover the frame from the int32
+    root label, not from a float row division."""
+    N, H, W = 2000, 64, 64
+    masks = np.zeros((N, H, W), np.float32)
+    masks[-1, 20:36, 8:24] = 1.0          # 256-px block, frame 1999
+    masks[0, 2:6, 2:6] = 1.0              # early-frame control
+    coords, frames, sizes, valid = blob_centers_tiled(
+        jnp.asarray(masks), 256)
+    coords, frames = np.asarray(coords), np.asarray(frames)
+    valid = np.asarray(valid)
+    assert valid.sum() == 2
+    late = coords[(frames == N - 1) & valid]
+    np.testing.assert_allclose(late, [[27.5, 15.5]], atol=1e-4)
+    early = coords[(frames == 0) & valid]
+    np.testing.assert_allclose(early, [[3.5, 3.5]], atol=1e-4)
+
+
+def test_tiled_pixel_budget_bounds_chunks(monkeypatch):
+    """The tiled path must chunk on the HBM pixel budget, not only on
+    int32 label safety — one unbounded program OOMs real chips."""
+    import atomai_tpu.ops.cc_label as cc
+
+    rng = np.random.RandomState(5)
+    masks = (rng.rand(12, 16, 16) > 0.88).astype(np.float32)
+    ref = [np.asarray(a) for a in blob_centers_tiled(jnp.asarray(masks),
+                                                     256)]
+    calls = []
+    orig = cc._blob_moments
+
+    def spy(lab, band=0):
+        calls.append(lab.shape)
+        return orig(lab, band)
+
+    monkeypatch.setattr(cc, "_blob_moments", spy)
+    monkeypatch.setattr(cc, "_TILED_PIXEL_BUDGET", 4 * 17 * 16)
+    got = [np.asarray(a) for a in blob_centers_tiled(jnp.asarray(masks),
+                                                     256)]
+    assert len(calls) == 3 and all(s[0] <= 4 * 17 for s in calls)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, atol=1e-4)
+
+
 def test_locator_many_frames_matches_few():
     """Locator's tiled (>8 masks) and per-frame (<=8) paths must agree."""
     from atomai_tpu.predictors import Locator

@@ -30,6 +30,10 @@ def test_layout_merges_samples():
     for n in (2560, 3072, 3584, 4608):
         S, tile, grid = _layout(4, n)
         assert tile * grid[1] == n, n
+    # n > MAX_TILE with NO aligned divisor must raise a clear error,
+    # not an empty-max() crash
+    with pytest.raises(ValueError, match="spatial_mlp"):
+        _layout(4, 2816)
 
 
 def _inputs(seed=0):

@@ -226,6 +226,25 @@ def test_ensemble_remat_trajectory_parity(seg_data, tmp_path):
     _assert_trajectory_and_params(et_a, et_b, ens_a, ens_b)
 
 
+def test_remat_recompile_not_served_stale_engine(seg_data, tmp_path):
+    """Re-compiling the SAME trainer with remat=True after a non-remat
+    run must build a new engine — the cache key has to include the remat
+    flag, or the user's memory-pressure opt-in is silently ignored."""
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=2, batch_size=4,
+                                filename=str(tmp_path / "a"))
+    et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    n_engines = len(et._ens_engines)
+    et.compile_ensemble_trainer(training_cycles=2, batch_size=4,
+                                filename=str(tmp_path / "b"), remat=True)
+    assert et.remat
+    et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    assert len(et._ens_engines) == n_engines + 1, \
+        "remat=True was served the cached non-remat engine"
+
+
 def _assert_trajectory_and_params(et_a, et_b, ens_a, ens_b):
     la = np.asarray(et_a.loss_acc["train_loss"])
     lb = np.asarray(et_b.loss_acc["train_loss"])

@@ -118,6 +118,50 @@ def test_ensemble_members_shard_across_devices():
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 (virtual) devices")
+def test_ensemble_baseline_fit_uses_auto_dp():
+    """The single-model fits inside train_ensemble_from_baseline /
+    train_swag have no member axis, so they must data-shard over the
+    auto mesh like any fit() — and the member phase must still run
+    cleanly on its own member mesh afterwards."""
+    from atomai_tpu.trainers import EnsembleTrainer
+    from atomai_tpu.utils import make_lattice_stack
+
+    imgs, masks, _ = make_lattice_stack(8, 32, 10, seed=1)
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1], seed=3)
+    et.compile_ensemble_trainer(training_cycles=4, batch_size=8,
+                                filename="/tmp/aoi_ens_bl")
+    meshes = []
+    orig_fit = EnsembleTrainer.fit
+
+    def spy(self):
+        meshes.append(self.mesh)
+        return orig_fit(self)
+
+    EnsembleTrainer.fit = spy
+    try:
+        _, ens = et.train_ensemble_from_baseline(
+            imgs, masks, n_models=2, training_cycles_base=4,
+            training_cycles_ensemble=2)
+    finally:
+        EnsembleTrainer.fit = orig_fit
+    assert meshes and meshes[0] is not None, \
+        "baseline fit did not auto-build a data mesh"
+    assert len(ens) == 2
+    # trained state was de-committed from the data mesh for member work
+    leaf = np.asarray(jax.tree.leaves(ens[0])[0])
+    assert np.isfinite(leaf).all()
+    # mesh=False must disable the baseline data mesh too
+    et2 = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                          layers=[1, 1, 1, 1], seed=3)
+    et2.compile_ensemble_trainer(training_cycles=4, batch_size=8,
+                                 filename="/tmp/aoi_ens_bl2", mesh=False)
+    et2.train_baseline(imgs, masks)
+    assert et2.mesh is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
 def test_ensemble_predictor_shards_members():
     from atomai_tpu.predictors import EnsemblePredictor
     from atomai_tpu.nets import init_fcnn_model

@@ -124,6 +124,32 @@ def test_nb_classes_mismatch_raises():
               filename="/tmp/aoi_mm")
 
 
+def test_mesh_false_persists_across_fits():
+    """An explicit mesh=False opt-out must survive later fit() calls on
+    the same model that omit the kwarg — None conflating 'unset' and
+    'disabled' silently re-enabled auto-DP mid-workflow."""
+    X, y, Xt, yt = _data()
+    m = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=1)
+    m.fit(X, y, Xt, yt, training_cycles=2, batch_size=4, print_loss=2,
+          filename="/tmp/aoi_meshpersist", mesh=False)
+    assert m.mesh is None and m._mesh_pref is False
+    m.fit(X, y, Xt, yt, training_cycles=2, batch_size=4, print_loss=2,
+          filename="/tmp/aoi_meshpersist")        # no mesh kwarg
+    assert m.mesh is None, "mesh=False was forgotten by the second fit"
+    # VAE engine: same contract
+    from atomai_tpu.models import rVAE
+    Xv = np.random.RandomState(0).rand(32, 8, 8).astype(np.float32)
+    v = rVAE((8, 8), latent_dim=2, numlayers_encoder=1,
+             numhidden_encoder=8, numlayers_decoder=1,
+             numhidden_decoder=8)
+    v.fit(Xv, training_cycles=1, batch_size=16, mesh=False,
+          filename="/tmp/aoi_meshpersist_v")
+    assert v.mesh is None and v._mesh_pref is False
+    v.fit(Xv, training_cycles=1, batch_size=16,
+          filename="/tmp/aoi_meshpersist_v")
+    assert v.mesh is None, "VAE engine forgot mesh=False"
+
+
 class TestEngineParity:
     """The scan-over-cycles engine (accelerator path) and the jitted
     python-loop engine (XLA:CPU path) must produce identical training

@@ -220,12 +220,17 @@ def test_get_intensities_clipped_window_means():
     img = rng.rand(30, 33)
     coord = np.stack([rng.uniform(0, 30, 100),
                       rng.uniform(0, 33, 100)], axis=1)
+    # fully out-of-bounds atoms (e.g. drift-extrapolated) must yield NaN,
+    # not a fabricated low intensity
+    coord = np.concatenate([coord, [[-10.0, -10.0], [95.0, 5.0]]])
     for r in (3, 4):
         got = get_intensities_(coord, img, r)
         for k, c in enumerate(coord):
             cx, cy = int(np.around(c[0])), int(np.around(c[1]))
             x0, x1 = max(cx - r // 2, 0), min(cx - r // 2 + r, 30)
             y0, y1 = max(cy - r // 2, 0), min(cy - r // 2 + r, 33)
-            expected = img[x0:x1, y0:y1].mean() \
-                if x1 > x0 and y1 > y0 else 0.0
-            np.testing.assert_allclose(got[k], expected, rtol=1e-10)
+            if x1 > x0 and y1 > y0:
+                np.testing.assert_allclose(got[k], img[x0:x1, y0:y1].mean(),
+                                           rtol=1e-10)
+            else:
+                assert np.isnan(got[k]), (k, got[k])
