@@ -53,7 +53,13 @@ class EnsemblePredictor(BasePredictor):
         # members may be bare param trees or full variable dicts
         # ({"params": ..., "batch_stats": ...}, the reference's
         # full-state_dict-per-member form)
-        members = [ensemble[i] for i in sorted(ensemble.keys())]
+        # digit-string keys (e.g. after a JSON round-trip) must sort
+        # numerically — the SAME order the per-member batch_stats dict
+        # uses below, or member 10 would run with member 2's BN stats
+        def _member_order(k):
+            return int(k) if isinstance(k, str) and k.isdigit() else k
+        members = [ensemble[i]
+                   for i in sorted(ensemble.keys(), key=_member_order)]
         if members and all(isinstance(m, dict) and "params" in m
                            for m in members):
             if batch_stats is None and "batch_stats" in members[0]:
@@ -98,7 +104,12 @@ class EnsemblePredictor(BasePredictor):
         self.logits = kwargs.get("logits", True)
         # 'auto' | 'map' | 'vmap' — see _make_ens_forward
         self.member_layout = kwargs.get("member_layout", "auto")
-        self.output_shape = kwargs.get("output_shape")
+        # a constructor-level output_shape overrides inference for every
+        # predict call; otherwise the shape is recomputed per call (a
+        # cached first-call shape would corrupt later different-sized
+        # predicts — silently, when element counts happen to coincide)
+        self._user_output_shape = kwargs.get("output_shape")
+        self.output_shape = self._user_output_shape
         verbose = kwargs.get("verbose", 1)
         self.everbose = bool(verbose)
         self.verbose = verbose > 1 if isinstance(verbose, int) else False
@@ -204,15 +215,23 @@ class EnsemblePredictor(BasePredictor):
 
     def ensemble_forward(self, data, out_shape=None, num_batches: int = 1
                          ) -> np.ndarray:
-        """All member predictions in one vmapped forward
-        (reference `epredictor.py:134-161`). Returns
-        (n_models, n_samples, ...)."""
+        """All member predictions via the vmapped forward, chunked into
+        ``num_batches`` dispatches (reference `epredictor.py:134-161`).
+        Returns (n_models, n_samples, ...) — reshaped per model to
+        ``out_shape`` when given."""
         if self._jit_ens_forward is None:
             self._jit_ens_forward = self._make_ens_forward()
-        preds = np.asarray(self._jit_ens_forward(self.params_stack,
-                                                 jnp.asarray(data)))
+        data = jnp.asarray(data)
+        bsz = max(1, data.shape[0] // max(1, num_batches))
+        futures = [self._jit_ens_forward(self.params_stack,
+                                         data[s:s + bsz])
+                   for s in range(0, data.shape[0], bsz)]
+        preds = np.concatenate(
+            [np.asarray(f) for f in jax.device_get(futures)], axis=1)
         if preds.ndim == 3:  # (models, n, length) -> add channel
             preds = preds[..., None]
+        if out_shape is not None:
+            preds = preds.reshape((self.n_models, *out_shape))
         return preds
 
     def ensemble_forward_(self, data, out_shape=None
@@ -270,7 +289,9 @@ class EnsemblePredictor(BasePredictor):
             raise ValueError(
                 "Specify channel_last or channel_first output format")
         data = self.preprocess(data, norm)
-        if not self.output_shape:
+        if self._user_output_shape:
+            self.output_shape = self._user_output_shape
+        else:
             self._set_output_shape(data)
         mean, var = self.ensemble_batch_predict(data, num_batches)
         if format_out == "channel_first":

@@ -115,8 +115,13 @@ class BasePredictor:
         return self._jit_forward(self._variables(), xnew)
 
     def _cache_key(self):
+        # hash() probes the key NOW — building the tuple never hashes it,
+        # so without the probe the TypeError would fire later inside the
+        # cache lookup instead of hitting this fallback
+        key = (type(self).__name__, self.model)
         try:
-            return (type(self).__name__, self.model)
+            hash(key)
+            return key
         except TypeError:  # unhashable custom module
             return (type(self).__name__, id(self.model))
 
@@ -181,10 +186,11 @@ class SegPredictor(BasePredictor):
         self.verbose = kwargs.get("verbose", True)
 
     def _cache_key(self):
+        key = ("SegPredictor", self.model, self.logits, self.nb_classes)
         try:
-            return ("SegPredictor", self.model, self.logits,
-                    self.nb_classes)
-        except TypeError:
+            hash(key)
+            return key
+        except TypeError:  # unhashable custom module
             return ("SegPredictor", id(self.model), self.logits,
                     self.nb_classes)
 

@@ -282,6 +282,10 @@ class GPTrainer:
         self.training_cycles = training_cycles
         self.compiled = True
         self._fit_chunk = None
+        # a posterior factorization from a PREVIOUS fit would be reused by
+        # predict() against the new X/y — crash on size mismatch, silent
+        # garbage when the sizes coincide
+        self._post_cache = None
 
     def _loss_fn(self, params):
         if self.inducing_points is not None:
@@ -566,6 +570,37 @@ class dklGPTrainer(GPTrainer):
             self.fe_params = params["fe"]
         self._compute_scale_stats()
         return self
+
+    def predict(self, Xs, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+        """Posterior mean/variance at new points in the LEARNED embedding
+        space. Overrides GPTrainer.predict, whose raw-input posterior
+        would bypass the feature extractor — a broadcast crash when
+        indim != embedim, silently wrong predictions when they coincide.
+        (The dklGPR model class has its own batched predict; this covers
+        direct trainer-level use.)"""
+        if self.fe_params is None:
+            raise RuntimeError("Train the model first (run/compile)")
+        Xs, _ = self.set_data(Xs)
+        if self.scale_stats is None:
+            self._compute_scale_stats()
+        if self.correlated_output:
+            zt = self._embed_fn(self.fe_params, self.X, self.scale_stats)
+            zs = self._embed_fn(self.fe_params, Xs, self.scale_stats)
+            cache = jax.vmap(
+                lambda p, yy: posterior_cache(p, zt, yy, self.kernel))(
+                    self.gp_params, self.y)
+            m, v = jax.vmap(
+                lambda c: posterior_from_cache(c, zt, zs, self.kernel))(
+                    cache)
+        else:
+            def one(fe_i, gp_i, y_i, st_i):
+                zt = self._embed_fn(fe_i, self.X, st_i)
+                zs = self._embed_fn(fe_i, Xs, st_i)
+                c = posterior_cache(gp_i, zt, y_i, self.kernel)
+                return posterior_from_cache(c, zt, zs, self.kernel)
+            m, v = jax.vmap(one)(self.fe_params, self.gp_params, self.y,
+                                 self.scale_stats)
+        return np.asarray(m), np.asarray(v)
 
     def save_weights(self, filename: str) -> str:
         """Saves the feature extractor weights

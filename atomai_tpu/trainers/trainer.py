@@ -166,6 +166,9 @@ class BaseTrainer:
                 self._shard_stacked(a) for a in
                 (self.Xb_train, self.yb_train, self.Xb_test,
                  self.yb_test))
+        # the compiled cycle closes over the staged batches — a cached
+        # chunk would silently keep training on the REPLACED data
+        self._compiled_chunk = None
         self.data_is_set = True
 
     def _shard_stacked(self, a):
@@ -264,7 +267,10 @@ class BaseTrainer:
             self.criterion = self.get_loss_fn(loss, self.nb_classes)
 
         if not self.full_epoch:
-            batch_seed = kwargs.get("batch_seed", self.seed)
+            # a constructor-level batch_seed (SegTrainer(..., batch_seed=7))
+            # is the default; a compile-time kwarg overrides it
+            batch_seed = kwargs.get(
+                "batch_seed", getattr(self, "batch_seed", self.seed))
             self.batch_idx_train = _shuffled_batch_schedule(
                 self.Xb_train.shape[0], training_cycles, batch_seed)
             self.batch_idx_test = _shuffled_batch_schedule(
@@ -366,9 +372,11 @@ class BaseTrainer:
                     opt_state), loss, acc
 
         def eval_one_batch(params, batch_stats, X, y, key):
-            if augment_fn is not None:
-                k_aug, _ = jax.random.split(key)
-                X, y = augment_fn(k_aug, X, y)
+            # test metrics are measured on CLEAN data — augmentation is a
+            # training regularizer; evaluating on noised/warped test
+            # batches would skew every model-selection decision (final
+            # eval_model and the ensemble engine already evaluate clean)
+            del key
             out = self._apply_eval(params, batch_stats, X)
             loss = criterion(out, y)
             acc = acc_fn(y, out) if compute_acc else jnp.float32(0)

@@ -145,6 +145,11 @@ class viBaseTrainer:
                 self.X_test = shard_batch(self.mesh, self.X_test)
                 if self.y_test is not None:
                     self.y_test = shard_batch(self.mesh, self.y_test)
+        # the scanned epoch fns close over the staged arrays — keeping
+        # them would silently train/evaluate on the REPLACED data (e.g.
+        # active-learning loops that re-stage between epochs)
+        self._train_epoch_fn = None
+        self._eval_epoch_fn = None
 
     # ----------------------------------------------------------- compile
     def compile_trainer(self, train_data: Tuple,

@@ -257,3 +257,64 @@ def _assert_trajectory_and_params(et_a, et_b, ens_a, ens_b):
             close += np.sum(np.abs(a - b) <= 1e-5 + 1e-3 * np.abs(b))
             total += a.size
     assert close / total > 0.99, f"only {close}/{total} params agree"
+
+
+def test_predictor_handles_varied_batch_sizes(seg_data, tmp_path):
+    """A second predict with a DIFFERENT number of frames must not
+    reuse the first call's inferred output shape (silent garbage when
+    element counts coincide, ValueError otherwise)."""
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=2, batch_size=4,
+                                filename=str(tmp_path / "vb"))
+    _, ens = et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    p = EnsemblePredictor(et.net, ens, nb_classes=1, verbose=0)
+    # norm=False: predict min-max-normalizes over the GIVEN stack
+    # (reference parity), which differs between the 4- and 5-frame calls
+    m4, _ = p.predict(imgs[:4], num_batches=1, norm=False)
+    m5, _ = p.predict(imgs[:5], num_batches=1, norm=False)
+    assert m4.shape[0] == 4 and m5.shape[0] == 5
+    np.testing.assert_allclose(m5[:4], m4, atol=1e-5)
+    # element-count-coinciding reshape trap: 4x32x32 == 1x64x64 x 1/4 —
+    # use an explicit different spatial size instead
+    big = np.random.RandomState(0).rand(1, 64, 64).astype(np.float32)
+    mb, _ = p.predict(big, num_batches=1)
+    assert mb.shape == (1, 64, 64, 1)
+
+
+def test_predictor_digit_string_keys_align_bn_stats(seg_data, tmp_path):
+    """Digit-string member keys (a JSON round-trip artifact) must order
+    members and their per-member BN stats identically for 10+ members."""
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=2, batch_size=4,
+                                filename=str(tmp_path / "ds"))
+    _, ens = et.train_ensemble_from_scratch(imgs, masks, n_models=11)
+    p_int = EnsemblePredictor(et.net, ens, nb_classes=1, verbose=0,
+                              mesh=False)
+    str_ens = {str(k): v for k, v in ens.items()}
+    p_str = EnsemblePredictor(et.net, str_ens, nb_classes=1, verbose=0,
+                              mesh=False)
+    m_i, v_i = p_int.predict(imgs[:2], num_batches=1)
+    m_s, v_s = p_str.predict(imgs[:2], num_batches=1)
+    np.testing.assert_allclose(m_s, m_i, atol=1e-6)
+    np.testing.assert_allclose(v_s, v_i, atol=1e-6)
+
+
+def test_ensemble_forward_honors_num_batches(seg_data, tmp_path):
+    """ensemble_forward(num_batches=k) must chunk dispatches (device
+    memory control) and still return the full stacked prediction."""
+    imgs, masks = seg_data
+    et = EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
+                         layers=[1, 1, 1, 1])
+    et.compile_ensemble_trainer(training_cycles=2, batch_size=4,
+                                filename=str(tmp_path / "nb"))
+    _, ens = et.train_ensemble_from_scratch(imgs, masks, n_models=2)
+    p = EnsemblePredictor(et.net, ens, nb_classes=1, verbose=0)
+    x = p.preprocess(imgs[:6])
+    one = p.ensemble_forward(x, num_batches=1)
+    chunked = p.ensemble_forward(x, num_batches=3)
+    assert one.shape == chunked.shape == (2, 6, 32, 32, 1)
+    np.testing.assert_allclose(chunked, one, atol=1e-6)

@@ -212,3 +212,43 @@ def test_sgpr_reconstruction_parity_with_exact():
     assert rmse_exact < 0.3 * rmse_mean_fill
     assert rmse_sgpr < 0.3 * rmse_mean_fill
     assert rmse_sgpr < 1.5 * rmse_exact + 1e-3
+
+
+def test_dkl_trainer_level_predict_embeds(gp_data):
+    """dklGPTrainer.predict must go through the feature extractor —
+    the inherited raw-input posterior would crash (indim != embedim)
+    or silently mis-predict (indim == embedim)."""
+    from atomai_tpu.trainers import dklGPTrainer
+
+    X, y = gp_data
+    t = dklGPTrainer(8, embedim=2)            # indim != embedim
+    t.run(X, y[None], training_cycles=20, print_loss=20)
+    m, v = t.predict(X[:10])
+    assert m.shape[-1] == 10 and np.all(np.isfinite(m))
+    assert np.all(np.asarray(v) > -1e-6)
+    # predictions at training points should track the targets after
+    # a short fit better than the prior mean does
+    resid = np.abs(np.asarray(m).ravel() - y[:10])
+    assert resid.mean() < np.abs(y[:10]).mean()
+    # independent-output mode
+    Y = np.stack([y, -y])
+    t2 = dklGPTrainer(8, embedim=2, shared_embedding_space=False)
+    t2.run(X, Y, training_cycles=5, print_loss=5)
+    m2, v2 = t2.predict(X[:6])
+    assert m2.shape == (2, 6) and np.all(np.isfinite(m2))
+
+
+def test_gp_recompile_clears_posterior_cache(gp_data):
+    """compile_trainer on NEW data must invalidate the cached posterior
+    factorization — a stale cache crashes on size mismatch or silently
+    serves the old fit."""
+    X, y = gp_data
+    t = GPTrainer()
+    t.run(X, y[None], training_cycles=5, print_loss=5)
+    t.predict(X[:5])                  # populates _post_cache
+    assert t._post_cache is not None
+    t.compile_trainer(X[:40], y[None, :40], training_cycles=5)
+    assert t._post_cache is None
+    t.run(training_cycles=5, print_loss=5)
+    m, _ = t.predict(X[:5])
+    assert np.all(np.isfinite(np.asarray(m)))

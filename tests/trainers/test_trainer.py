@@ -258,3 +258,65 @@ class TestRemat:
             elbos.append(np.asarray(v.loss_history["train_loss"]))
         np.testing.assert_allclose(elbos[0], elbos[1], rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_set_data_invalidates_compiled_cycle():
+    """Re-staging data after a fit must rebuild the compiled cycle —
+    the scanned engine closes over the staged batches, so a cached
+    chunk would silently keep training on the OLD data."""
+    from atomai_tpu.trainers import SegTrainer
+
+    X, y, Xt, yt = _data(seed=1)
+    t = SegTrainer("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=1)
+    t.compile_trainer((X, y, Xt, yt), training_cycles=2, batch_size=4,
+                      print_loss=2, filename="/tmp/aoi_setdata",
+                      mesh=False)
+    t.run()
+    assert t._compiled_chunk is not None
+    X2 = np.zeros_like(X)           # loss on all-zero images is distinct
+    t.set_data(X2, y, X2.copy(), yt)
+    assert t._compiled_chunk is None, \
+        "stale compiled cycle survived set_data"
+
+
+def test_constructor_batch_seed_changes_schedule():
+    """SegTrainer(batch_seed=...) must control the shuffled batch order;
+    it was previously stored but never read."""
+    from atomai_tpu.trainers import SegTrainer
+
+    X, y, Xt, yt = _data(seed=1, n=16)
+    scheds = []
+    for bseed in (1, 7):
+        t = SegTrainer("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1],
+                       seed=1, batch_seed=bseed)
+        t.compile_trainer((X, y, Xt, yt), training_cycles=8,
+                          batch_size=4, print_loss=8,
+                          filename="/tmp/aoi_bseed", mesh=False)
+        scheds.append(np.asarray(t.batch_idx_train))
+    assert not np.array_equal(scheds[0], scheds[1]), \
+        "constructor batch_seed did not change the batch schedule"
+
+
+def test_test_loss_measured_on_clean_data():
+    """Per-cycle test metrics must be computed on UNaugmented test
+    batches: with a destructive augment_fn the recorded test loss must
+    equal a manual clean-data evaluation with the final params."""
+    import jax.numpy as jnp
+
+    X, y, Xt, yt = _data(seed=2, n=8)
+    m = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=1)
+
+    def nuke(images, targets):    # destroys inputs if applied at eval
+        return jnp.zeros_like(images), targets
+
+    m.fit(X, y, Xt, yt, training_cycles=3, batch_size=8, print_loss=3,
+          filename="/tmp/aoi_cleaneval", mesh=False, swa=False,
+          custom_transform=nuke)
+    t = m  # Segmentor IS the trainer
+    out = t.net.apply(
+        {"params": t.params, **({"batch_stats": t.batch_stats}
+                                if t.batch_stats is not None else {})},
+        t.Xb_test[0], False)
+    clean_loss = float(t.criterion(out, t.yb_test[0]))
+    recorded = float(np.asarray(t.loss_acc["test_loss"])[-1])
+    np.testing.assert_allclose(recorded, clean_loss, rtol=1e-4)

@@ -63,3 +63,24 @@ def test_reparameterize_discrete_simplex():
         np.random.RandomState(0).randn(16, 4)), axis=1)
     z = viBaseTrainer.reparameterize_discrete(key, alpha, tau=0.67)
     np.testing.assert_allclose(np.asarray(z.sum(1)), 1.0, atol=1e-5)
+
+
+def test_set_data_rebuilds_epoch_fns():
+    """Re-staging data between epochs must rebuild the scanned epoch
+    closures — they close over the staged arrays, so keeping them would
+    silently train on the REPLACED dataset (active-learning loops)."""
+    rng = np.random.RandomState(0)
+    X1 = rng.rand(32, 8, 8).astype(np.float32)
+    vae = SimpleVAE()
+    vae.compile_trainer((X1, None), (X1[:8], None), training_cycles=2,
+                        batch_size=8, filename="/tmp/aoi_vi_setdata")
+    e1 = vae.train_epoch()
+    assert vae._train_epoch_fn is not None
+    X2 = np.zeros((32, 8, 8), np.float32)
+    vae.set_data(X2, None, X2[:8], None)
+    assert vae._train_epoch_fn is None and vae._eval_epoch_fn is None
+    e2 = vae.train_epoch()
+    assert np.isfinite([e1, e2]).all()
+    # all-zero data: the reconstruction term collapses, so the ELBO
+    # trajectory must visibly jump vs continuing on X1
+    assert not np.isclose(e1, e2, rtol=1e-3)
