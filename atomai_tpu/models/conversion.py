@@ -18,6 +18,8 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..core.checkpoint import _to_numpy_tree
+
 # per-architecture mapping: (torch prefix, flax module name); None maps the
 # final 1x1 pixel conv to the top-level flax "Conv_0"
 _UNET_PLAIN = [("c1", "ConvBlock_0"), ("c2", "ConvBlock_1"),
@@ -69,8 +71,6 @@ def _collect_layers(state_dict: Dict[str, Any], prefix: str):
     """Groups a torch block's tensors into ordered conv and bn layers."""
     convs, bns = [], []
     cur_bn: Dict[str, np.ndarray] = {}
-    keys = [k for k in state_dict if k.startswith(prefix + ".")
-            or k == prefix + ".weight" or k == prefix + ".bias"]
     # preserve state_dict order
     seen_prefixes: List[str] = []
     for k in state_dict:
@@ -169,8 +169,8 @@ def convert_fcnn_state_dict(torch_state_dict: Dict[str, Any],
     f = {"Unet": 8, "dilnet": 2, "SegResNet": 4}.get(model, 8)
     x = jnp.zeros((1, f * 8, f * 8, 1), jnp.float32)
     variables = dict(net.init({"params": key, "dropout": key}, x, False))
-    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
-    bstats = jax.tree.map(np.asarray, jax.device_get(variables.get("batch_stats", {})))
+    params = _to_numpy_tree(variables["params"])
+    bstats = _to_numpy_tree(variables.get("batch_stats", {}))
 
     mapping = _block_mapping(model, kwargs.get("with_dilation", False))
     for torch_prefix, flax_name in mapping:
@@ -304,8 +304,8 @@ def convert_imspec_state_dict(torch_state_dict: Dict[str, Any],
     key = jax.random.key(0)
     x = jnp.zeros((1,) + tuple(in_dim), jnp.float32)
     variables = dict(net.init({"params": key, "dropout": key}, x, False))
-    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
-    bstats = jax.tree.map(np.asarray, jax.device_get(variables.get("batch_stats", {})))
+    params = _to_numpy_tree(variables["params"])
+    bstats = _to_numpy_tree(variables.get("batch_stats", {}))
     _apply_mapping(params, bstats, torch_state_dict,
                    _imspec_mapping(kwargs.get("decoder_upsampling", False),
                                    in_dim, out_dim,
@@ -410,7 +410,7 @@ def convert_vae_checkpoint(loaded: Dict[str, Any]):
     model._init_params()
 
     import jax
-    params = jax.tree.map(np.asarray, jax.device_get(model.params))
+    params = _to_numpy_tree(model.params)
     n_disc = len(discrete_dim) if discrete_dim else 0
     _apply_mapping(params["encoder"], {}, enc_sd,
                    _vae_encoder_mapping(meta.get("conv_encoder", False),
@@ -469,8 +469,8 @@ def convert_denoiser_state_dict(torch_state_dict: Dict[str, Any],
     s = 2 ** (len(enc_f) - 1) * 4
     x = jnp.zeros((1, s, s, 1), jnp.float32)
     variables = dict(net.init({"params": key, "dropout": key}, x, False))
-    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
-    bstats = jax.tree.map(np.asarray, jax.device_get(variables.get("batch_stats", {})))
+    params = _to_numpy_tree(variables["params"])
+    bstats = _to_numpy_tree(variables.get("batch_stats", {}))
     _apply_mapping(params, bstats, torch_state_dict,
                    _denoiser_mapping(enc_f, dec_f))
     return net, params, bstats

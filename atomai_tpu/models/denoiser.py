@@ -53,8 +53,12 @@ def preprocess_denoiser_data(X_train, y_train, X_test, y_test):
     out = []
     for a in (X_train, y_train, X_test, y_test):
         a = np.asarray(a, np.float32)
-        a = preproc.as_channel_last_images(a) if a.ndim in (3, 4) \
-            else a[..., None]
+        if a.ndim == 2:
+            # single image: add BOTH batch and channel axes — (H, W, 1)
+            # alone would stage H one-row "samples"
+            a = a[None, ..., None]
+        else:
+            a = preproc.as_channel_last_images(a)
         out.append(a)
     return tuple(out)
 

@@ -96,7 +96,11 @@ def load_model(filepath: Union[str, Tuple[Dict, Dict], Dict]):
             encoder_filters=meta.get("encoder_filters", [8, 16, 32, 64]),
             decoder_filters=meta.get("decoder_filters", [64, 32, 16, 8]),
             encoder_layers=meta.get("encoder_layers", [1, 2, 2, 2]),
-            decoder_layers=meta.get("decoder_layers", [2, 2, 2, 1]))
+            decoder_layers=meta.get("decoder_layers", [2, 2, 2, 1]),
+            # rebuilding with defaults here would silently change the
+            # architecture (flax apply ignores surplus BN params)
+            use_batch_norm=meta.get("use_batch_norm", False),
+            upsampling_mode=meta.get("upsampling_mode", "nearest"))
     else:
         raise ValueError(f"Unknown model type in checkpoint: {model_type}")
     model.meta_state_dict = {**meta}
@@ -178,8 +182,18 @@ def load_single_from(meta: Dict[str, Any], arrays: Dict[str, Any]):
                                  meta.get("nb_classes", 1), **kwargs)
         return net, arrays.get("params")
     if model_type == "imspec":
+        # forward ALL stored architecture hyperparameters (like the seg
+        # branch above and load_model's imspec branch) — defaults would
+        # rebuild a skeleton whose param structure mismatches the members
+        kwargs = {k: meta[k] for k in
+                  ("nblayers_encoder", "nblayers_decoder",
+                   "nbfilters_encoder", "nbfilters_decoder",
+                   "encoder_downsampling", "decoder_upsampling")
+                  if k in meta}
+        if "batchnorm" in meta:
+            kwargs["batch_norm"] = meta["batchnorm"]
         net, _ = init_imspec_model(tuple(meta["in_dim"]),
                                    tuple(meta["out_dim"]),
-                                   meta.get("latent_dim", 2))
+                                   meta.get("latent_dim", 2), **kwargs)
         return net, arrays.get("params")
     raise ValueError(f"Unsupported ensemble model type: {model_type}")

@@ -68,9 +68,11 @@ class SlidingFFTNMF:
         if self.window_size_y > width:
             self.window_size_y = min(64, width)
             self.window_step_y = max(1, self.window_size_y // 4)
-        bw2d = np.outer(np.hamming(self.window_size_x),
-                        np.ones(self.window_size_y))
-        self.hamming_window = np.sqrt(bw2d * bw2d.T)
+        # separable 2D Hamming: outer product of the two 1D windows —
+        # bw2d * bw2d.T only works for square windows
+        self.hamming_window = np.sqrt(np.outer(
+            np.hamming(self.window_size_x),
+            np.hamming(self.window_size_y)))
 
     def make_windows(self, image: np.ndarray) -> np.ndarray:
         """Strided sliding windows (reference `fft_nmf.py:104-152`)."""

@@ -345,10 +345,16 @@ def update_classes(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
         coordinates = {0: coordinates}
     if np.ndim(nn_input) == 2:
         nn_input = nn_input[None, ..., None]
-    elif np.ndim(nn_input) == 3 and nn_input.shape[-1] > 10:
-        nn_input = nn_input[..., None]
-    elif np.ndim(nn_input) == 3 and nn_input.shape[-1] < 10:
-        nn_input = nn_input[None, ...]
+    elif np.ndim(nn_input) == 3:
+        # 3D is ambiguous: (N, H, W) stack vs (H, W, C) single multi-
+        # channel map. A small last dim (<= 16 — channel counts, vs
+        # spatial sizes in the hundreds) reads as channels. The branches
+        # must PARTITION: the previous exclusive <10/>10 pair left
+        # shape[-1] == 10 unhandled (silently wrong intensities)
+        if nn_input.shape[-1] <= 16:
+            nn_input = nn_input[None, ...]
+        else:
+            nn_input = nn_input[..., None]
     coordinates_ = copy.deepcopy(coordinates)
 
     if method == "gmm_local":

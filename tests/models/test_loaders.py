@@ -95,3 +95,56 @@ def test_ensemble_save_load(tmp_path):
         assert set(mem) == set(ld) == {"params", "batch_stats"}
         assert _params_equal(mem["params"], ld["params"])
         assert _params_equal(mem["batch_stats"], ld["batch_stats"])
+
+
+def test_denoiser_save_load_nondefault_architecture(imstack, tmp_path):
+    """use_batch_norm / upsampling_mode must survive the save/load round
+    trip — rebuilding with defaults silently changes the architecture
+    (flax apply ignores surplus BN params)."""
+    den = DenoisingAutoencoder(encoder_filters=[4, 8],
+                               decoder_filters=[8, 4],
+                               encoder_layers=[1, 1],
+                               decoder_layers=[1, 1],
+                               use_batch_norm=True,
+                               upsampling_mode="bilinear")
+    den.fit(imstack, imstack, training_cycles=2, batch_size=8,
+            print_loss=2, filename=str(tmp_path / "dna"))
+    path = den.save_model(str(tmp_path / "dna_saved"))
+    loaded = load_model(path)
+    assert loaded.meta_state_dict["use_batch_norm"] is True
+    assert loaded.net.use_batch_norm is True
+    assert loaded.net.upsampling_mode == "bilinear"
+    np.testing.assert_allclose(loaded.predict(imstack[:2]),
+                               den.predict(imstack[:2]), atol=1e-5)
+
+
+def test_imspec_ensemble_load_nondefault_architecture(tmp_path):
+    """load_ensemble must rebuild the imspec skeleton with the STORED
+    hyperparameters — defaults mismatch the member param structure."""
+    rng = np.random.RandomState(0)
+    X = rng.rand(32, 8, 8).astype(np.float32)
+    y = rng.rand(32, 6).astype(np.float32)
+    et = EnsembleTrainer("imspec", in_dim=(8, 8), out_dim=(6,),
+                         latent_dim=2, nblayers_encoder=2,
+                         nbfilters_encoder=8, nbfilters_decoder=8,
+                         batch_norm=False)
+    et.compile_ensemble_trainer(training_cycles=2, batch_size=8,
+                                loss="mse",
+                                filename=str(tmp_path / "ie"))
+    _, ens = et.train_ensemble_from_scratch(X, y, n_models=2)
+    (net, _), loaded = load_ensemble(str(tmp_path / "ie") +
+                                     "_ensemble_metadict")
+    # the rebuilt skeleton must accept the loaded member params
+    member = loaded[0]["params"] if "params" in loaded[0] else loaded[0]
+    out = net.apply({"params": member}, np.zeros((1, 8, 8), np.float32),
+                    False)
+    assert np.asarray(out).shape == (1, 6)
+
+
+def test_denoiser_2d_input_gets_batch_axis():
+    """A single 2D image must stage as (1, H, W, 1), not as H one-row
+    pseudo-samples."""
+    from atomai_tpu.models.denoiser import preprocess_denoiser_data
+    img = np.random.RandomState(0).rand(16, 16).astype(np.float32)
+    X, y, Xt, yt = preprocess_denoiser_data(img, img, img, img)
+    assert X.shape == (1, 16, 16, 1) and yt.shape == (1, 16, 16, 1)

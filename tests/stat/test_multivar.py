@@ -142,3 +142,24 @@ def test_subimg_trajectories_crops():
     assert len(trajs) == 1
     assert subs[0].shape == (4, 8, 8)
     np.testing.assert_allclose(trajs[0][:, 0], [16, 17, 18, 19])
+
+
+def test_sliding_fft_nmf_nonsquare_window(imstack_data):
+    """Non-square windows must build a separable Hamming window instead
+    of crashing on a broadcast of (wx, wy) against its transpose."""
+    img = np.random.RandomState(0).rand(32, 64).astype(np.float32)
+    an = SlidingFFTNMF(window_size_x=8, window_size_y=16, components=2)
+    comps, maps = an.analyze_image(img, output_path="/tmp/aoi_fftnmf_ns")
+    assert an.hamming_window.shape == (8, 16)
+    assert np.isfinite(comps).all()
+
+
+def test_update_classes_ten_channel_map():
+    """A (H, W, 10) multichannel map must batch as ONE frame — the old
+    exclusive <10/>10 heuristic left exactly 10 channels unhandled."""
+    from atomai_tpu.stat import update_classes
+    rng = np.random.RandomState(0)
+    nn_out = rng.rand(24, 24, 10).astype(np.float32)
+    coords = np.array([[5.0, 5.0, 0.0], [12.0, 12.0, 0.0]])
+    out = update_classes(coords, nn_out, method="threshold", thresh=0.5)
+    assert set(out) == {0} and out[0].shape == (2, 3)
