@@ -91,7 +91,9 @@ def label_components_auto(mask: jnp.ndarray, max_iters: int = 4096
     XLA while-loop path otherwise."""
     from .cc_label import label_components
     H, W = mask.shape
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # the kernel is TPU-only (pltpu.VMEM): a GPU/METAL backend must take
+    # the portable XLA path, not "anything that isn't cpu"
+    on_tpu = jax.default_backend() == "tpu"
     if on_tpu and H * W <= _PALLAS_MAX_PIXELS and W >= 128:
         return label_components_pallas(mask, max_iters)
     return label_components(mask, max_iters)

@@ -71,12 +71,20 @@ def separable_sample_nhwc(stack: jnp.ndarray, ys: jnp.ndarray,
 
 
 def rotate_image(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotates a 2D image by ``angle`` (radians) about its center."""
-    H, W = img.shape
+    """Rotates an (H, W) or (H, W, C) image by ``angle`` (radians)
+    COUNTER-clockwise about its center — the cv2 positive-angle
+    convention, consistent with ``np.rot90(img, 1)`` at 90 degrees
+    (``cv_rotate``'s fast path). Sampling uses the INVERSE map: each
+    output pixel pulls from the source location that a CCW rotation
+    would move onto it."""
+    H, W = img.shape[0], img.shape[1]
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
     c, s = jnp.cos(angle), jnp.sin(angle)
-    ys = c * (yy - cy) - s * (xx - cx) + cy
-    xs = s * (yy - cy) + c * (xx - cx) + cx
+    ys = c * (yy - cy) + s * (xx - cx) + cy
+    xs = -s * (yy - cy) + c * (xx - cx) + cx
+    if img.ndim == 3:
+        return jax.vmap(lambda ch: bilinear_sample(ch, ys, xs),
+                        in_axes=2, out_axes=2)(img)
     return bilinear_sample(img, ys, xs)

@@ -50,7 +50,13 @@ def torch_format(image_data: np.ndarray) -> np.ndarray:
 
 def train_test_split(X, y, test_size: float = 0.15, shuffle: bool = True,
                      random_state: int = 1):
-    """sklearn-ordered (X_tr, X_ts, y_tr, y_ts) split."""
+    """sklearn-ordered (X_tr, X_ts, y_tr, y_ts) split. shuffle=False
+    keeps the input order (chronological holdouts must not leak shuffled
+    future frames into training)."""
+    if not shuffle:
+        X, y = np.asarray(X), np.asarray(y)
+        n_test = max(int(round(len(X) * test_size)), 1)
+        return (X[:-n_test], X[-n_test:], y[:-n_test], y[-n_test:])
     X_tr, y_tr, X_ts, y_ts = _preproc.data_split(
         X, y, test_size, random_state)
     return X_tr, X_ts, y_tr, y_ts
@@ -63,7 +69,13 @@ def array2list_(x, batch_size: int, store_on_cpu: bool = False
     (`atomai/utils/preproc.py:170-183`)."""
     x = np.asarray(x)
     n_batches = x.shape[0] // batch_size
-    return list(np.split(x[:n_batches * batch_size], max(n_batches, 1)))
+    if n_batches == 0:
+        # the reference errors here too — one silent EMPTY batch would
+        # flow NaN losses through every downstream consumer
+        raise ValueError(
+            f"batch_size {batch_size} exceeds the {x.shape[0]} available "
+            "samples")
+    return list(np.split(x[:n_batches * batch_size], n_batches))
 
 
 def array2list(X_train, y_train, X_test, y_test, batch_size: int,

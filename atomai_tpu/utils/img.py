@@ -201,6 +201,16 @@ def extract_subimages(imgdata: np.ndarray,
         coordinates = {0: coordinates}
     if np.ndim(imgdata) == 2:
         imgdata = imgdata[None, ..., None]
+    # empty results keep array rank so callers (e.g.
+    # extract_patches_and_spectra's .squeeze()) never see bare lists
+    r = window_size
+
+    def _empty():
+        shape = (0, r, r) + ((imgdata.shape[-1],) if imgdata.ndim == 4
+                             else ())
+        return (np.empty(shape, imgdata.dtype),
+                np.empty((0, 2)), np.empty((0,), np.int64))
+
     coord_sel, frame_sel = [], []
     for i, coord in enumerate(coordinates.values()):
         if i >= imgdata.shape[0]:
@@ -211,15 +221,14 @@ def extract_subimages(imgdata: np.ndarray,
         coord_sel.append(coord_i)
         frame_sel.append(np.full(len(coord_i), i, np.int64))
     if not coord_sel:
-        return [], [], []
+        return _empty()
     coord_all = np.concatenate(coord_sel)
     frame_all = np.concatenate(frame_sel)
     if len(coord_all) == 0:
-        return [], [], []
-    r = window_size
+        return _empty()
     lo, valid = _window_bounds(coord_all, r, imgdata.shape[1:3])
     if not valid.any():
-        return [], [], []
+        return _empty()
     lo, frames, coms = lo[valid], frame_all[valid], coord_all[valid]
     rows = lo[:, 0, None] + np.arange(r)
     cols = lo[:, 1, None] + np.arange(r)

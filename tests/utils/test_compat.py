@@ -96,3 +96,26 @@ def test_dummy_optimizer():
     state = tx.init(params)
     updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
     np.testing.assert_array_equal(np.asarray(updates["w"]), 1.0)
+
+
+def test_array2list_rejects_oversized_batch():
+    """batch_size > n must error loudly (reference parity) — a silent
+    single EMPTY batch flows NaN losses downstream."""
+    import pytest
+    X = np.random.rand(4, 8, 8)
+    with pytest.raises(ValueError, match="exceeds"):
+        array2list_(X, 32)
+
+
+def test_train_test_split_shuffle_false_keeps_order():
+    """shuffle=False must keep chronological order — silently shuffling
+    leaks future frames into a time-ordered training split."""
+    X = np.arange(20)[:, None].astype(np.float32)
+    y = np.arange(20).astype(np.float32)
+    X_tr, X_ts, y_tr, y_ts = train_test_split(X, y, test_size=0.2,
+                                              shuffle=False)
+    np.testing.assert_array_equal(X_tr.ravel(), np.arange(16))
+    np.testing.assert_array_equal(X_ts.ravel(), np.arange(16, 20))
+    # and shuffle=True (default) does shuffle
+    X_tr2, _, _, _ = train_test_split(X, y, test_size=0.2)
+    assert not np.array_equal(X_tr2.ravel(), np.arange(16))

@@ -234,3 +234,33 @@ def test_get_intensities_clipped_window_means():
                                            rtol=1e-10)
             else:
                 assert np.isnan(got[k]), (k, got[k])
+
+
+def test_cv_rotate_direction_consistent_and_multichannel():
+    """Arbitrary-angle rotation must match the 90-degree fast path's CCW
+    convention (cv2 positive angle) and accept (H, W, C) images."""
+    from atomai_tpu.utils import cv_rotate
+
+    img = np.zeros((16, 16), np.float32)
+    img[2, :] = 1.0                      # bright row near the top
+    exact = cv_rotate(img, 90)           # np.rot90 fast path (CCW)
+    warped = cv_rotate(img, 90.0001)     # warp path
+    # the bright line must land on the SAME side for both paths
+    assert abs(exact.sum(0).argmax() - warped.sum(0).argmax()) <= 1
+    # multichannel arbitrary-angle rotation must not crash
+    rgb = np.stack([img, img * 2, img * 3], axis=-1)
+    out = cv_rotate(rgb, 45)
+    assert out.shape == rgb.shape and np.isfinite(out).all()
+
+
+def test_extract_subimages_empty_returns_arrays():
+    """No-valid-coordinate inputs must return empty ARRAYS of matching
+    rank — bare lists crash extract_patches_and_spectra's .squeeze()."""
+    from atomai_tpu.utils import extract_subimages
+
+    img = np.random.RandomState(0).rand(1, 32, 32, 1)
+    # every coordinate within window_size//2 of the edge -> all dropped
+    coords = {0: np.array([[0.0, 0.0, 0.0], [31.0, 31.0, 0.0]])}
+    subs, coms, frames = extract_subimages(img, coords, window_size=16)
+    assert subs.shape == (0, 16, 16, 1)
+    assert coms.shape == (0, 2) and frames.shape == (0,)
