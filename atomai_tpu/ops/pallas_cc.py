@@ -92,8 +92,9 @@ def label_components_auto(mask: jnp.ndarray, max_iters: int = 4096
     from .cc_label import label_components
     H, W = mask.shape
     # the kernel is TPU-only (pltpu.VMEM): a GPU/METAL backend must take
-    # the portable XLA path, not "anything that isn't cpu"
-    on_tpu = jax.default_backend() == "tpu"
+    # the portable XLA path, not "anything that isn't cpu". "axon" is a
+    # remote-TPU plugin platform name (canonicalizes to tpu for MLIR).
+    on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu and H * W <= _PALLAS_MAX_PIXELS and W >= 128:
         return label_components_pallas(mask, max_iters)
     return label_components(mask, max_iters)

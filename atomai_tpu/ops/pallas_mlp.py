@@ -253,7 +253,7 @@ def mlp_shapes_supported(n_pix: int, hidden: int) -> bool:
     with ``ATOMAI_TPU_PALLAS_MLP=1``."""
     if not os.environ.get("ATOMAI_TPU_PALLAS_MLP"):
         return False
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() not in ("tpu", "axon"):
         return False
     return hidden % 128 == 0 and hidden <= 512
 

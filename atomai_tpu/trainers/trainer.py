@@ -280,6 +280,9 @@ class BaseTrainer:
         if self.print_loss is None:
             self.print_loss = 100 if not self.full_epoch else 1
         self.accuracy_metrics = kwargs.get("accuracy_metrics")
+        # opt-in JSONL metrics stream (core/mlog.py): one object per
+        # cycle, flushed per chunk — the reference only prints
+        self.metrics_log = kwargs.get("metrics_log")
         self.filename = kwargs.get("filename", "./model")
         self.plot_training_history = kwargs.get("plot_training_history",
                                                 False)
@@ -541,6 +544,8 @@ class BaseTrainer:
         carry = (self.params, self.batch_stats, self.opt_state, swa_state)
         all_keys = jax.random.split(self.keys.next(), cycles)
         cpu_loop = self._cpu_loop_engine()
+        from ..core.mlog import open_metrics_log
+        mlog = open_metrics_log(getattr(self, "metrics_log", None))
         e0 = 0
         while e0 < cycles:
             e1 = min(e0 + chunk, cycles)
@@ -570,8 +575,17 @@ class BaseTrainer:
                     np.asarray(tr_a).tolist())
                 self.loss_acc["test_accuracy"].extend(
                     np.asarray(ts_a).tolist())
+            if mlog is not None:
+                mlog.log_many(
+                    e0, train_loss=tr_l, test_loss=ts_l,
+                    train_accuracy=(np.asarray(tr_a)
+                                    if self._has_accuracy() else None),
+                    test_accuracy=(np.asarray(ts_a)
+                                   if self._has_accuracy() else None))
             self.print_statistics(e1 - 1)
             e0 = e1
+        if mlog is not None:
+            mlog.close()
         self.params, self.batch_stats, self.opt_state, swa_state = carry
         if self.swa:
             print("Performing stochastic weight averaging...")

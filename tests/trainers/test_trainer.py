@@ -320,3 +320,34 @@ def test_test_loss_measured_on_clean_data():
     clean_loss = float(t.criterion(out, t.yb_test[0]))
     recorded = float(np.asarray(t.loss_acc["test_loss"])[-1])
     np.testing.assert_allclose(recorded, clean_loss, rtol=1e-4)
+
+
+def test_metrics_log_jsonl(tmp_path):
+    """fit(metrics_log=path) streams one JSON object per cycle with
+    train/test losses (and accuracies when computed) — machine-readable
+    observability beyond the reference's prints."""
+    import json
+
+    X, y, Xt, yt = _data()
+    path = str(tmp_path / "run.jsonl")
+    m = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=1)
+    m.fit(X, y, Xt, yt, training_cycles=5, batch_size=4, print_loss=2,
+          filename=str(tmp_path / "mlog"), mesh=False,
+          compute_accuracy=True, metrics_log=path)
+    recs = [json.loads(line) for line in open(path)]
+    assert [r["cycle"] for r in recs] == list(range(5))
+    assert all({"wall_s", "train_loss", "test_loss",
+                "train_accuracy"} <= set(r) for r in recs)
+    np.testing.assert_allclose([r["train_loss"] for r in recs],
+                               np.asarray(m.loss_acc["train_loss"]),
+                               rtol=1e-6)
+    # VAE engine: per-epoch ELBO stream through the same kwarg
+    from atomai_tpu.models import VAE
+    Xv = np.random.RandomState(0).rand(32, 8, 8).astype(np.float32)
+    vpath = str(tmp_path / "vae.jsonl")
+    v = VAE((8, 8), latent_dim=2, numlayers_encoder=1,
+            numhidden_encoder=8, numlayers_decoder=1, numhidden_decoder=8)
+    v.fit(Xv, training_cycles=2, batch_size=16, mesh=False,
+          filename=str(tmp_path / "vml"), metrics_log=vpath)
+    vrecs = [json.loads(line) for line in open(vpath)]
+    assert len(vrecs) == 2 and "train_elbo" in vrecs[0]
