@@ -23,14 +23,24 @@ _build_failed = False
 
 def compile_lib(src_path: str, lib_path: str) -> ctypes.CDLL:
     """g++-compiles ``src_path`` into a shared object (skipped when the
-    cached .so is newer than the source) and dlopens it."""
+    cached .so is newer than the source) and dlopens it.
+
+    Compiles to a per-PID temp file and atomically renames into place:
+    concurrent processes (pytest workers) racing `g++ -o` on the same
+    path could dlopen a partially written .so."""
     if (not os.path.exists(lib_path) or
             os.path.getmtime(lib_path) < os.path.getmtime(src_path)):
         os.makedirs(os.path.dirname(lib_path), exist_ok=True)
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             src_path, "-o", lib_path],
-            check=True, capture_output=True)
+        tmp_path = f"{lib_path}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 src_path, "-o", tmp_path],
+                check=True, capture_output=True)
+            os.replace(tmp_path, lib_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     return ctypes.CDLL(lib_path)
 
 
@@ -55,6 +65,10 @@ def _build() -> Optional[ctypes.CDLL]:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
+    # same kill-switch neighbors.get_lib honors: the Python fallback must
+    # be reachable for EVERY native component, not just the neighbor lib
+    if os.environ.get("ATOMAI_TPU_NATIVE", "1") in ("0", "false", "off"):
+        return None
     global _lib
     if _lib is None and not _build_failed:
         _lib = _build()

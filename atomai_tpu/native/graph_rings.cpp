@@ -6,9 +6,11 @@
 //
 // 1. polycount: DFS from every node bounded by max_depth; a path that
 //    returns to its root at depth > 2 is recorded as a ring. At depth 2
-//    the root is removed from the current node's working neighbor list
-//    (the reference's in-place dedup trick); working lists are restored
-//    from the pristine copies after the sweep.
+//    the root is removed from the current node's working neighbor list,
+//    and that erasure deliberately PERSISTS across later roots' sweeps —
+//    it is what makes each ring be reported exactly once (matching the
+//    Python _enumerate_cycles dedup). Do not "restore" the working lists
+//    per root: every k-ring would then be found k times.
 // 2. remove_filled_polygons: a ring survives only if no pair of its
 //    member nodes is connected by a strictly shorter path in the full
 //    graph (bounded BFS) than along the ring.

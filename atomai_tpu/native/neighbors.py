@@ -85,7 +85,7 @@ def knn(points: np.ndarray, queries: np.ndarray, k: int,
     nq = len(queries)
     ub = np.inf if upper_bound is None else float(upper_bound)
     lib = get_lib()
-    if lib is not None and n > 0 and dim <= 3:
+    if lib is not None and n > 0 and dim in (2, 3):
         d = np.empty((nq, k), np.float64)
         i = np.empty((nq, k), np.int32)
         lib.nn_knn(n, dim, points, nq, queries, int(k), ub, d, i)
@@ -104,7 +104,7 @@ def ball_query(points: np.ndarray, queries: np.ndarray, r: float
     n, dim = points.shape
     nq = len(queries)
     lib = get_lib()
-    if lib is not None and n > 0 and dim <= 3:
+    if lib is not None and n > 0 and dim in (2, 3):
         indptr = np.empty(nq + 1, np.int64)
         idx_p = ctypes.POINTER(ctypes.c_int32)()
         lib.nn_ball_csr(n, dim, points, nq, queries, float(r), indptr,
@@ -125,7 +125,7 @@ def query_pairs(points: np.ndarray, r: float) -> np.ndarray:
     points = _as_pts(points)
     n, dim = points.shape
     lib = get_lib()
-    if lib is not None and n > 0 and dim <= 3:
+    if lib is not None and n > 0 and dim in (2, 3):
         pairs_p = ctypes.POINTER(ctypes.c_int32)()
         m = int(lib.nn_pairs(n, dim, points, float(r),
                              ctypes.byref(pairs_p)))
@@ -143,7 +143,7 @@ def dbscan(points: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
     points = _as_pts(points)
     n, dim = points.shape
     lib = get_lib()
-    if lib is not None and n > 0 and dim <= 3:
+    if lib is not None and n > 0 and dim in (2, 3):
         labels = np.empty(n, np.int32)
         lib.nn_dbscan(n, dim, points, float(eps), int(min_samples), labels)
         return labels.astype(np.int64)

@@ -43,7 +43,8 @@ def timeit(fn, args, vary, reps=20):
     fetch(fn(*args))  # warm / compile
     t0 = time.time()
     out = None
-    for i in range(reps):
+    # start at i=1: vary(args, 0) equals the warmup value -> memoized
+    for i in range(1, reps + 1):
         out = fn(*vary(args, i))
     fetch(out)
     return (time.time() - t0) / reps

@@ -46,7 +46,8 @@ def timeit(fn, params, phi, dx, z, reps=30):
     each call is genuinely executed, and end with a value fetch
     (block_until_ready is a wall-clock no-op on this backend)."""
     fetch(jax.tree.leaves(fn(params, phi, dx, z))[0])  # warm/compile
-    phis = [phi + 1e-6 * i for i in range(reps)]
+    # start at i=1: i=0 would equal the warmup value and be MEMOIZED
+    phis = [phi + 1e-6 * i for i in range(1, reps + 1)]
     t0 = time.time()
     for p in phis:
         out = fn(params, p, dx, z)

@@ -150,3 +150,30 @@ def test_far_outlier_does_not_overflow_grid():
     assert np.isfinite(d[1:, 1]).all()
     pairs = neighbors.query_pairs(pts, 0.5)
     assert pairs.ndim == 2
+
+
+def test_one_dimensional_points_use_fallback():
+    """dim == 1 must route to the scipy fallback — the native grid hash
+    only implements 2-D/3-D and previously read uninitialized loop
+    bounds (returning all-inf/all-noise silently)."""
+    rng = np.random.RandomState(0)
+    pts = rng.rand(50, 1) * 10
+    d, i = neighbors.knn(pts, pts[:5], k=3)
+    d_ref, i_ref = spatial.cKDTree(pts).query(pts[:5], k=3)
+    np.testing.assert_allclose(d, d_ref, atol=1e-12)
+    np.testing.assert_array_equal(i, i_ref)
+    labels = neighbors.dbscan(pts, eps=0.2, min_samples=3)
+    from sklearn.cluster import DBSCAN
+    ref = DBSCAN(eps=0.2, min_samples=3).fit(pts).labels_
+    # same clustering structure: noise matches; clusters are a relabeling
+    np.testing.assert_array_equal(labels == -1, ref == -1)
+
+
+def test_graph_rings_kill_switch(monkeypatch):
+    """ATOMAI_TPU_NATIVE=0 must disable the native ring finder too, not
+    only the neighbor engine."""
+    import atomai_tpu.native as native
+
+    monkeypatch.setenv("ATOMAI_TPU_NATIVE", "0")
+    monkeypatch.setattr(native, "_lib", None)
+    assert native.get_lib() is None
