@@ -13,10 +13,20 @@ contract with a portable, pickle-free format:
 
 Step-level resume (absent in the reference — SURVEY.md §5) comes for free by
 storing the optimizer state and step counter.
+
+Writes are ATOMIC (temp file + os.replace): a process killed mid-save
+leaves the previous checkpoint intact instead of a truncated file.
+:func:`save_checkpoint_async` additionally overlaps the serialize+write
+with ongoing training on a single background thread — the VAE engines
+save every epoch (reference parity), and a synchronous save would stall
+each epoch on host I/O.
 """
 
 import json
+import os
+import queue
 import struct
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -34,16 +44,91 @@ def _to_numpy_tree(tree):
 
 def save_checkpoint(filename: str, meta: Dict[str, Any],
                     arrays: Dict[str, Any]) -> str:
-    """Writes meta (JSON-able dict) + arrays (pytree of arrays) to one file."""
+    """Writes meta (JSON-able dict) + arrays (pytree of arrays) to one
+    file, atomically."""
     if not filename.endswith(".aoi"):
         filename = filename + ".aoi"
     header = json.dumps(meta, default=_json_default).encode("utf-8")
     payload = serialization.msgpack_serialize(_to_numpy_tree(arrays))
-    with open(filename, "wb") as f:
-        f.write(struct.pack("<Q", len(header)))
-        f.write(header)
-        f.write(payload)
+    _atomic_write(filename, header, payload)
     return filename
+
+
+def _atomic_write(filename: str, header: bytes, payload: bytes) -> None:
+    tmp = f"{filename}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(struct.pack("<Q", len(header)))
+            f.write(header)
+            f.write(payload)
+        os.replace(tmp, filename)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class _AsyncWriter:
+    """One daemon thread draining a save queue; depth 1 — a newer save of
+    the same file supersedes a queued older one (epoch checkpoints only
+    ever need the latest)."""
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+        self._pending: Dict[str, Tuple[bytes, bytes]] = {}
+        self._lock = threading.Lock()
+        self._thread = None
+
+    def _ensure_thread(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._drain,
+                                            daemon=True)
+            self._thread.start()
+
+    def _drain(self):
+        while True:
+            fname = self._q.get()
+            if fname is None:
+                return
+            with self._lock:
+                item = self._pending.pop(fname, None)
+            if item is not None:
+                _atomic_write(fname, *item)
+            self._q.task_done()
+
+    def submit(self, filename: str, header: bytes, payload: bytes):
+        with self._lock:
+            superseded = filename in self._pending
+            self._pending[filename] = (header, payload)
+        if not superseded:
+            self._ensure_thread()
+            self._q.put(filename)
+
+    def flush(self):
+        """Blocks until every queued save is on disk."""
+        if self._thread is not None and self._thread.is_alive():
+            self._q.join()
+
+
+_ASYNC_WRITER = _AsyncWriter()
+
+
+def save_checkpoint_async(filename: str, meta: Dict[str, Any],
+                          arrays: Dict[str, Any]) -> str:
+    """Like :func:`save_checkpoint`, but the file write happens on a
+    background thread. The device->host fetch and serialization run
+    synchronously (the arrays may be donated/updated by the next step);
+    only the I/O overlaps. Call :func:`flush_async_checkpoints` before
+    reading the file back."""
+    if not filename.endswith(".aoi"):
+        filename = filename + ".aoi"
+    header = json.dumps(meta, default=_json_default).encode("utf-8")
+    payload = serialization.msgpack_serialize(_to_numpy_tree(arrays))
+    _ASYNC_WRITER.submit(filename, header, payload)
+    return filename
+
+
+def flush_async_checkpoints() -> None:
+    _ASYNC_WRITER.flush()
 
 
 def load_checkpoint(filename: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:

@@ -395,7 +395,12 @@ class BaseVAE(viBaseTrainer):
             self.update_metadict()
             if getattr(self, "recording", False) and self.z_dim in (3, 5):
                 self.manifold2d(savefig=True, filename=str(e))
-            self.save_model(self.filename)
+            # per-epoch checkpoint (reference parity, `vae.py:742`):
+            # async so the epoch never stalls on host I/O
+            self.save_model(self.filename, async_write=True)
+        from ...core.checkpoint import flush_async_checkpoints
+        flush_async_checkpoints()
+        self.save_model(self.filename)   # final, synchronous
         if mlog is not None:
             mlog.close()
         if getattr(self, "recording", False) and self.z_dim in (3, 5):

@@ -421,12 +421,18 @@ class viBaseTrainer:
                                   -self.loss_history["train_loss"][-1]))
 
     # --------------------------------------------------------- serialize
-    def save_model(self, *args: str) -> str:
-        """Self-describing save (reference `vitrainer.py:361-372`)."""
+    def save_model(self, *args: str, async_write: bool = False) -> str:
+        """Self-describing save (reference `vitrainer.py:361-372`).
+        ``async_write=True`` queues the file write on a background thread
+        (the per-epoch save path — a synchronous write would stall every
+        epoch on host I/O); writes are flushed at the end of fit."""
         savepath = args[0] if args else self.filename
         meta = {k: v for k, v in self.metadict.items()
                 if k not in ("encoder", "decoder", "optimizer")}
         arrays = {"params": self.params}
+        if async_write:
+            from ..core.checkpoint import save_checkpoint_async
+            return save_checkpoint_async(savepath, meta, arrays)
         return save_checkpoint(savepath, meta, arrays)
 
     def save_weights(self, *args: str) -> str:
