@@ -54,8 +54,18 @@ def save_checkpoint(filename: str, meta: Dict[str, Any],
     return filename
 
 
+_TMP_COUNTER = [0]
+_TMP_COUNTER_LOCK = threading.Lock()
+
+
 def _atomic_write(filename: str, header: bytes, payload: bytes) -> None:
-    tmp = f"{filename}.{os.getpid()}.tmp"
+    # unique per (pid, thread, call): a PID-only name would let the async
+    # writer thread and a synchronous save of the same file interleave
+    # writes into ONE temp file, defeating the atomicity this provides
+    with _TMP_COUNTER_LOCK:
+        _TMP_COUNTER[0] += 1
+        n = _TMP_COUNTER[0]
+    tmp = f"{filename}.{os.getpid()}.{n}.tmp"
     try:
         with open(tmp, "wb") as f:
             f.write(struct.pack("<Q", len(header)))
@@ -77,6 +87,7 @@ class _AsyncWriter:
         self._pending: Dict[str, Tuple[bytes, bytes]] = {}
         self._lock = threading.Lock()
         self._thread = None
+        self._last_error: Optional[BaseException] = None
 
     def _ensure_thread(self):
         if self._thread is None or not self._thread.is_alive():
@@ -89,11 +100,17 @@ class _AsyncWriter:
             fname = self._q.get()
             if fname is None:
                 return
-            with self._lock:
-                item = self._pending.pop(fname, None)
-            if item is not None:
-                _atomic_write(fname, *item)
-            self._q.task_done()
+            try:
+                with self._lock:
+                    item = self._pending.pop(fname, None)
+                if item is not None:
+                    _atomic_write(fname, *item)
+            except BaseException as e:  # surfaced at flush()
+                self._last_error = e
+            finally:
+                # task_done() MUST run even on a failed write, or
+                # flush()'s q.join() blocks forever on the lost count
+                self._q.task_done()
 
     def submit(self, filename: str, header: bytes, payload: bytes):
         with self._lock:
@@ -104,9 +121,14 @@ class _AsyncWriter:
             self._q.put(filename)
 
     def flush(self):
-        """Blocks until every queued save is on disk."""
+        """Blocks until every queued save is on disk; re-raises the last
+        background write error (checkpoints silently not on disk are a
+        production incident, not a warning)."""
         if self._thread is not None and self._thread.is_alive():
             self._q.join()
+        if self._last_error is not None:
+            err, self._last_error = self._last_error, None
+            raise err
 
 
 _ASYNC_WRITER = _AsyncWriter()

@@ -199,7 +199,11 @@ def load_exported(filename: str) -> ExportedModel:
             raise ValueError
         magic_ok = header.get("magic") == _MAGIC_KEY
     except (struct.error, UnicodeDecodeError, json.JSONDecodeError,
-            OverflowError, MemoryError, ValueError):
+            OverflowError, ValueError):
+        # OverflowError = garbage header length too big for read()'s
+        # ssize_t (a corrupt-file signal). NOT MemoryError: a genuine
+        # OOM reading a valid multi-GB artifact must not masquerade as
+        # file corruption
         raise ValueError(f"{filename} is not an atomai_tpu export")
     if not magic_ok:
         raise ValueError(f"{filename} is not an atomai_tpu export")

@@ -377,32 +377,35 @@ class BaseVAE(viBaseTrainer):
             self.metadict["sigmoid_out"] = True
         self.recording = kwargs.get("recording", False)
         verbose = kwargs.get("verbose", True)
+        from ...core.checkpoint import flush_async_checkpoints
         from ...core.mlog import open_metrics_log
         mlog = open_metrics_log(kwargs.get("metrics_log"))
-        for e in range(self.training_cycles):
-            self.current_epoch = e
-            elbo_epoch = self.train_epoch()
-            self.loss_history["train_loss"].append(elbo_epoch)
-            elbo_epoch_test = None
-            if self.X_test is not None:
-                elbo_epoch_test = self.evaluate_model()
-                self.loss_history["test_loss"].append(elbo_epoch_test)
+        try:
+            for e in range(self.training_cycles):
+                self.current_epoch = e
+                elbo_epoch = self.train_epoch()
+                self.loss_history["train_loss"].append(elbo_epoch)
+                elbo_epoch_test = None
+                if self.X_test is not None:
+                    elbo_epoch_test = self.evaluate_model()
+                    self.loss_history["test_loss"].append(elbo_epoch_test)
+                if mlog is not None:
+                    mlog.log(e, train_elbo=elbo_epoch,
+                             test_elbo=elbo_epoch_test)
+                if verbose:
+                    self.print_statistics(e)
+                self.update_metadict()
+                if getattr(self, "recording", False) and \
+                        self.z_dim in (3, 5):
+                    self.manifold2d(savefig=True, filename=str(e))
+                # per-epoch checkpoint (reference parity, `vae.py:742`):
+                # async so the epoch never stalls on host I/O
+                self.save_model(self.filename, async_write=True)
+        finally:
+            flush_async_checkpoints()
             if mlog is not None:
-                mlog.log(e, train_elbo=elbo_epoch,
-                         test_elbo=elbo_epoch_test)
-            if verbose:
-                self.print_statistics(e)
-            self.update_metadict()
-            if getattr(self, "recording", False) and self.z_dim in (3, 5):
-                self.manifold2d(savefig=True, filename=str(e))
-            # per-epoch checkpoint (reference parity, `vae.py:742`):
-            # async so the epoch never stalls on host I/O
-            self.save_model(self.filename, async_write=True)
-        from ...core.checkpoint import flush_async_checkpoints
-        flush_async_checkpoints()
+                mlog.close()
         self.save_model(self.filename)   # final, synchronous
-        if mlog is not None:
-            mlog.close()
         if getattr(self, "recording", False) and self.z_dim in (3, 5):
             self.visualize_manifold_learning("./vae_learning")
 

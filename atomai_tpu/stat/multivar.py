@@ -347,11 +347,10 @@ def update_classes(coordinates: Union[Dict[int, np.ndarray], np.ndarray],
         nn_input = nn_input[None, ..., None]
     elif np.ndim(nn_input) == 3:
         # 3D is ambiguous: (N, H, W) stack vs (H, W, C) single multi-
-        # channel map. A small last dim (<= 16 — channel counts, vs
-        # spatial sizes in the hundreds) reads as channels. The branches
-        # must PARTITION: the previous exclusive <10/>10 pair left
+        # channel map. Keep the reference's cutoff (small last dim ->
+        # channels) but PARTITION at it: the exclusive <10/>10 pair left
         # shape[-1] == 10 unhandled (silently wrong intensities)
-        if nn_input.shape[-1] <= 16:
+        if nn_input.shape[-1] <= 10:
             nn_input = nn_input[None, ...]
         else:
             nn_input = nn_input[..., None]

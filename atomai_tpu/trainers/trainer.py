@@ -546,6 +546,29 @@ class BaseTrainer:
         cpu_loop = self._cpu_loop_engine()
         from ..core.mlog import open_metrics_log
         mlog = open_metrics_log(getattr(self, "metrics_log", None))
+        try:
+            carry = self._run_cycles(carry, cycles, chunk, all_keys,
+                                     run_chunk, cpu_loop, mlog)
+        finally:
+            if mlog is not None:
+                mlog.close()
+        self.params, self.batch_stats, self.opt_state, swa_state = carry
+        if self.swa:
+            print("Performing stochastic weight averaging...")
+            self.params = swa_state.mean()
+            self.running_weights_stats = (swa_state.mean(),
+                                          swa_state.variance())
+        self.eval_model()
+        self.save_model(self.filename + "_metadict_final")
+        if self.plot_training_history:
+            from ..utils.viz import plot_losses
+            plot_losses(self.loss_acc["train_loss"],
+                        self.loss_acc["test_loss"],
+                        savefig=self.filename + "_losses.png")
+        return self.net
+
+    def _run_cycles(self, carry, cycles, chunk, all_keys, run_chunk,
+                    cpu_loop, mlog):
         e0 = 0
         while e0 < cycles:
             e1 = min(e0 + chunk, cycles)
@@ -584,22 +607,7 @@ class BaseTrainer:
                                    if self._has_accuracy() else None))
             self.print_statistics(e1 - 1)
             e0 = e1
-        if mlog is not None:
-            mlog.close()
-        self.params, self.batch_stats, self.opt_state, swa_state = carry
-        if self.swa:
-            print("Performing stochastic weight averaging...")
-            self.params = swa_state.mean()
-            self.running_weights_stats = (swa_state.mean(),
-                                          swa_state.variance())
-        self.eval_model()
-        self.save_model(self.filename + "_metadict_final")
-        if self.plot_training_history:
-            from ..utils.viz import plot_losses
-            plot_losses(self.loss_acc["train_loss"],
-                        self.loss_acc["test_loss"],
-                        savefig=self.filename + "_losses.png")
-        return self.net
+        return carry
 
     def fit(self):
         self.run()

@@ -19,11 +19,14 @@ ALL = sorted(f for f in os.listdir(EXAMPLES) if f.endswith(".py"))
 
 
 def _run(name):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=ROOT + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""))
     r = subprocess.run([sys.executable, os.path.join(EXAMPLES, name)],
-                       capture_output=True, text=True, timeout=600,
+                       capture_output=True, text=True, timeout=900,
                        env=env, cwd="/tmp")
-    assert r.returncode == 0, f"{name} failed:\n{r.stdout}\n{r.stderr}"
+    assert r.returncode == 0, \
+        f"{name} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
 
 
 @pytest.mark.parametrize("name", FAST)

@@ -52,3 +52,27 @@ def test_vae_epoch_checkpoints_are_readable(tmp_path):
     for a, b in zip(z_live, z_loaded):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6)
+
+
+def test_async_write_failure_surfaces_at_flush(tmp_path):
+    """A failed background write must not wedge flush() forever (the
+    drain thread must task_done() even on error), and the error must
+    surface at flush instead of being swallowed."""
+    import pytest
+
+    bad = str(tmp_path / "no_such_dir" / "deep" / "x")
+    save_checkpoint_async(bad, {"model_type": "weights"},
+                          {"params": {"w": np.zeros(2, np.float32)}})
+    good = str(tmp_path / "ok")
+    save_checkpoint_async(good, {"model_type": "weights"},
+                          {"params": {"w": np.ones(2, np.float32)}})
+    with pytest.raises(OSError):
+        flush_async_checkpoints()   # returns (no hang) and raises
+    meta, arrays = load_checkpoint(good)   # good save still landed
+    np.testing.assert_array_equal(arrays["params"]["w"], [1.0, 1.0])
+    # the writer recovers: subsequent saves and flushes work
+    save_checkpoint_async(good, {"model_type": "weights", "v": 2},
+                          {"params": {"w": np.full(2, 2.0, np.float32)}})
+    flush_async_checkpoints()
+    meta, _ = load_checkpoint(good)
+    assert meta["v"] == 2
