@@ -311,6 +311,10 @@ def ensemble_locate(nn_output_ensemble: np.ndarray, **kwargs
     """
     eps = kwargs.get("eps", 0.5)
     thresh = kwargs.get("threshold", 0.5)
+    # DBSCAN needs min_samples member-detections per atom; the reference
+    # hardcodes 10 — forward it so small ensembles (< 10 members) can
+    # still cluster
+    min_samples = kwargs.get("min_samples", 10)
     n_models, n_images = nn_output_ensemble.shape[:2]
     # one batched Locator call over all (member, frame) maps instead of
     # n_models * n_images separate device dispatch+fetch rounds
@@ -323,7 +327,8 @@ def ensemble_locate(nn_output_ensemble: np.ndarray, **kwargs
     for i in range(n_images):
         coordinates = {m: all_coords[m * n_images + i]
                        for m in range(n_models)}
-        _, coord_mean, coord_var = cluster_coord(coordinates, eps)
+        _, coord_mean, coord_var = cluster_coord(coordinates, eps,
+                                                 min_samples)
         coord_mean_all[i] = coord_mean
         coord_var_all[i] = coord_var
     return coord_mean_all, coord_var_all

@@ -7,26 +7,34 @@ On a multi-chip TPU slice the ensemble members automatically shard across
 devices (the `model` mesh axis); on one chip they still train together in
 a single compiled program.
 
-Run:  python examples/ensemble_uncertainty.py
+Run:  python examples/ensemble_uncertainty.py        (CI-light)
+      ENSEMBLE_FULL=1 python examples/ensemble_uncertainty.py
 """
+
+import os
 
 import numpy as np
 
 import atomai_tpu as aoi
 
+FULL = bool(int(os.environ.get("ENSEMBLE_FULL", "0")))
+SIZE = 96 if FULL else 48
+CYCLES = 200 if FULL else 120
+N_MODELS = 10 if FULL else 4
+
 
 def main():
     images, masks, _ = aoi.utils.make_lattice_stack(
-        n_images=16, size=96, spacing=12, seed=0)
+        n_images=16, size=SIZE, spacing=12, seed=0)
 
     # all members train at once: parameters/optimizer states/batch
     # schedules carry a leading member axis inside one jitted scan
     etrainer = aoi.trainers.EnsembleTrainer("Unet", nb_classes=1)
     etrainer.compile_ensemble_trainer(
-        training_cycles=200, batch_size=8, swa=True,
+        training_cycles=CYCLES, batch_size=8, swa=True,
         filename="/tmp/example_ens")
     smodel, ensemble = etrainer.train_ensemble_from_scratch(
-        images, masks, n_models=10,
+        images, masks, n_models=N_MODELS,
         augment_fn=aoi.transforms.seg_augmentor(1, rotation=True,
                                                 gauss_noise=[10, 40]))
 
@@ -44,7 +52,8 @@ def main():
     member_preds = predictor.ensemble_forward(
         predictor.preprocess(images[:1]))
     coord_mean, coord_var = aoi.predictors.ensemble_locate(
-        member_preds, threshold=0.5, eps=1.5)
+        member_preds, threshold=0.5, eps=1.5,
+        min_samples=min(N_MODELS, 10))
     print("frame-0 atoms:", len(coord_mean[0]),
           "mean position spread: %.3f px" % float(np.mean(coord_var[0])))
 
