@@ -98,3 +98,17 @@ def test_find_com_no_silent_truncation():
     img[ys.ravel(), xs.ravel()] = 1.0
     coords = find_com(img)
     assert coords.shape[0] == ys.size
+
+
+def test_locator_channel_first_dim_order():
+    """Locator(dim_order='channel_first') on NCHW maps matches the
+    channel-last result (reference `test_locator.py:35-39`)."""
+    rng = np.random.RandomState(2)
+    prob = rng.rand(2, 32, 32, 2).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)      # softmax-like, 2 channels
+    loc_l = Locator(threshold=0.6)
+    loc_f = Locator(threshold=0.6, dim_order="channel_first")
+    out_l = loc_l.run(prob)
+    out_f = loc_f.run(prob.transpose(0, 3, 1, 2))
+    for k in out_l:
+        np.testing.assert_allclose(out_f[k], out_l[k], atol=1e-6)

@@ -252,3 +252,16 @@ def test_gp_recompile_clears_posterior_cache(gp_data):
     t.run(training_cycles=5, print_loss=5)
     m, _ = t.predict(X[:5])
     assert np.all(np.isfinite(np.asarray(m)))
+
+
+def test_thompson_scalarize_multioutput(gp_data):
+    """thompson(scalarize_func=...) collapses multi-output samples to one
+    acquisition row (reference `test_dklgpr.py:123-133`)."""
+    X, y = gp_data
+    Y = np.stack([y, -y, 2 * y])
+    m = dklGPR(8, embedim=2)
+    m.fit(X, Y, training_cycles=3, print_loss=3)
+    sample, idx = m.thompson(X[:20], scalarize_func=lambda s: s.mean(0))
+    assert sample.shape == (1, 20)
+    assert np.asarray(idx).shape in ((), (1,))
+    assert 0 <= int(np.asarray(idx).ravel()[0]) < 20

@@ -84,3 +84,22 @@ def test_set_data_rebuilds_epoch_fns():
     # all-zero data: the reconstruction term collapses, so the ELBO
     # trajectory must visibly jump vs continuing on X1
     assert not np.isclose(e1, e2, rtol=1e-3)
+
+
+def test_custom_optimizer_changes_training():
+    """compile_trainer(optimizer=...) accepts a custom optax transform;
+    a tiny LR must visibly slow ELBO movement vs a large one (reference
+    `test_vitrainer.py:93-112` contract)."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(64, 8, 8).astype(np.float32)
+    deltas = []
+    for lr in (1e-2, 1e-7):
+        vae = SimpleVAE()
+        vae.compile_trainer((X, None), training_cycles=4, batch_size=16,
+                            optimizer=optax.adam(lr),
+                            filename="/tmp/aoi_customopt")
+        elbos = [vae.train_epoch() for _ in range(4)]
+        deltas.append(abs(elbos[-1] - elbos[0]))
+    assert deltas[0] > deltas[1] * 10
