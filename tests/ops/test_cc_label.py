@@ -164,3 +164,67 @@ def test_snake_blob():
     got = np.asarray(coords)[np.asarray(valid)]
     assert len(got) == 1 == len(expected)
     np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+@pytest.mark.parametrize("case", [
+    "all_fg", "all_bg", "corners", "single_px", "checker", "row", "col",
+    "border_ring", "tall", "wide"])
+def test_blob_centers_adversarial_geometries(case):
+    """Degenerate geometries vs the scipy oracle: full-foreground,
+    isolated corner pixels, checkerboards (max component count),
+    full-width/height lines, a border ring, extreme aspect ratios."""
+    H, W = 24, 24
+    m = np.zeros((H, W), np.float32)
+    if case == "all_fg":
+        m[:] = 1
+    elif case == "all_bg":
+        pass
+    elif case == "corners":
+        m[0, 0] = m[0, -1] = m[-1, 0] = m[-1, -1] = 1
+    elif case == "single_px":
+        m[11, 7] = 1
+    elif case == "checker":
+        m[::2, ::2] = 1
+    elif case == "row":
+        m[5, :] = 1
+    elif case == "col":
+        m[:, 9] = 1
+    elif case == "border_ring":
+        m[0, :] = m[-1, :] = 1
+        m[:, 0] = m[:, -1] = 1
+    elif case == "tall":
+        m = np.zeros((64, 4), np.float32)
+        m[10:20, 1:3] = 1
+    elif case == "wide":
+        m = np.zeros((4, 64), np.float32)
+        m[1:3, 30:50] = 1
+    expected = _scipy_com(m)
+    coords, sizes, valid = (np.asarray(a) for a in
+                            blob_centers(jnp.asarray(m), 1024))
+    got = coords[valid]
+    assert len(got) == len(expected), case
+    if len(got):
+        np.testing.assert_allclose(got, expected, atol=1e-4, err_msg=case)
+    # sizes must sum to the foreground pixel count
+    assert sizes[valid].sum() == int(m.sum()), case
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_blob_centers_random_density_sweep(seed):
+    """Random masks across densities (sparse dots -> near-full) and
+    non-square shapes; exact blob-count and CoM parity with scipy."""
+    rng = np.random.RandomState(seed)
+    H = int(rng.randint(8, 50))
+    W = int(rng.randint(8, 50))
+    density = [0.02, 0.2, 0.5, 0.8, 0.95, 0.99][seed]
+    m = (rng.rand(H, W) < density).astype(np.float32)
+    expected = _scipy_com(m)
+    coords, sizes, valid = (np.asarray(a) for a in
+                            blob_centers(jnp.asarray(m), H * W))
+    got = coords[valid]
+    assert len(got) == len(expected), (H, W, density)
+    order = np.lexsort((got[:, 1], got[:, 0])) if len(got) else []
+    eorder = np.lexsort((expected[:, 1], expected[:, 0])) \
+        if len(expected) else []
+    if len(got):
+        np.testing.assert_allclose(got[order], expected[eorder], atol=1e-4)
