@@ -128,3 +128,35 @@ class TestSeparableWarp:
         np.testing.assert_allclose(A[4].sum(), 1.0, atol=1e-6)
         # coord 6.5: i0=6 in range (weight .5), i0+1=7 out -> half weight
         np.testing.assert_allclose(A[5].sum(), 0.5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [
+    {"gauss_noise": True}, {"poisson_noise": True},
+    {"salt_and_pepper": True}, {"contrast": True}, {"jitter": True},
+    {"background": True}, {"blur": True}])
+def test_noise_transforms_leave_labels_unchanged(kw):
+    """Noise/intensity transforms perturb IMAGES only — labels must pass
+    through bit-identical (reference `test_imaug.py:16-21` contract)."""
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.rand(5, 16, 16).astype(np.float32))
+    y = jnp.asarray(
+        rng.randint(0, 2, (5, 16, 16, 1)).astype(np.float32))
+    tf = DataTransform(n_channels=1, **kw)
+    X_t, y_t = tf.run(jax.random.key(1), X, y)
+    np.testing.assert_array_equal(np.asarray(y_t), np.asarray(y))
+    assert not np.array_equal(np.asarray(X_t), np.asarray(X))
+
+
+@pytest.mark.parametrize("kw", [{"rotation": True}, {"zoom": True},
+                                {"resize": (0.8, 1.2)}])
+def test_affine_transforms_move_labels_with_images(kw):
+    """Geometric transforms must warp images AND labels together
+    (reference `test_imaug.py:27-32` contract)."""
+    rng = np.random.RandomState(1)
+    X = rng.rand(4, 32, 32).astype(np.float32)
+    y = np.zeros((4, 32, 32, 1), np.float32)
+    y[:, 4:12, 4:12, 0] = 1.0            # asymmetric mask
+    tf = DataTransform(n_channels=1, **kw)
+    X_t, y_t = tf.run(jax.random.key(3), jnp.asarray(X), jnp.asarray(y))
+    assert not np.array_equal(np.asarray(y_t), y), kw
+    assert not np.array_equal(np.asarray(X_t), X), kw
