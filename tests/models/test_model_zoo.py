@@ -85,3 +85,28 @@ def test_denoiser(tmp_path):
           filename=str(tmp_path / "den"))
     out = m.predict(noisy[:2])
     assert out.shape == (2, 16, 16)
+
+
+def test_regressor_classifier_save_load_parity(tmp_path):
+    """Regressor and Classifier round-trip through save_model/load_model
+    with forward parity (reference `test_io_regressor`/`test_io_classifier`)."""
+    rng = np.random.RandomState(5)
+    X = rng.rand(48, 16, 16).astype(np.float32)
+    yr = X.mean(axis=(1, 2))[:, None].astype(np.float32)
+    reg = Regressor(out_dim=1, backbone="mobilenet")
+    reg.fit(X, yr, training_cycles=2, batch_size=16, print_loss=2,
+            filename=str(tmp_path / "regio"))
+    p = reg.save_model(str(tmp_path / "regio_saved"))
+    reg2 = load_model(p)
+    np.testing.assert_allclose(reg2.predict(X[:4], verbose=False),
+                               reg.predict(X[:4], verbose=False),
+                               atol=1e-5)
+
+    yc = rng.randint(0, 3, 48)
+    cls = Classifier(nb_classes=3, backbone="mobilenet")
+    cls.fit(X, yc, training_cycles=2, batch_size=16, print_loss=2,
+            filename=str(tmp_path / "clsio"))
+    p = cls.save_model(str(tmp_path / "clsio_saved"))
+    cls2 = load_model(p)
+    np.testing.assert_array_equal(cls2.predict(X[:4], verbose=False),
+                                  cls.predict(X[:4], verbose=False))
