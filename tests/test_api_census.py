@@ -156,3 +156,21 @@ def test_gp_regression_model_pure_under_transforms():
     s2 = m.train_stats(params2)
     assert not np.allclose(np.asarray(s1[0]), np.asarray(s2[0]))
     del g
+
+
+def test_torch_tensor_inputs_accepted():
+    """Migrating users hand over torch tensors — fit/predict must accept
+    them anywhere numpy arrays are accepted (reference
+    `test_predictor.py` preprocess_torch contract)."""
+    import torch
+    from atomai_tpu.models import Segmentor
+    from atomai_tpu.utils import make_lattice_stack
+
+    imgs, masks, _ = make_lattice_stack(4, 32, 10, seed=1)
+    m = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1])
+    m.fit(torch.from_numpy(imgs), torch.from_numpy(masks),
+          training_cycles=2, batch_size=4, print_loss=2,
+          filename="/tmp/aoi_torch_in", mesh=False)
+    out = m.predict(torch.from_numpy(imgs[:2]), compute_coords=False,
+                    verbose=False)
+    assert np.asarray(out).shape == (2, 32, 32, 1)
