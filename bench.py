@@ -62,7 +62,34 @@ PEAK_FLOPS = 197e12
 PEAK_HBM_BPS = 819e9
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Bounded device discovery: the remote-TPU tunnel can hang
+    indefinitely when its pool is unreachable — emit a diagnosable JSON
+    line instead of wedging the bench harness forever."""
+    import threading
+
+    found = []
+
+    def probe():
+        import jax
+        found.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not found:
+        print(json.dumps({
+            "metric": "seg_train_predict_512eq_imgs_per_sec",
+            "value": None, "unit": "img/s", "vs_baseline": None,
+            "error": f"accelerator unreachable: jax.devices() did not "
+                     f"return within {timeout_s:.0f}s (TPU tunnel down?)"
+        }))
+        raise SystemExit(1)
+    return found[0]
+
+
 def main():
+    _require_device()
     import atomai_tpu as aoi
     from atomai_tpu.core.dtypes import enable_compilation_cache
     # persistent cache: repeat bench invocations skip the one-time XLA
