@@ -68,3 +68,46 @@ def test_train_mode_updates_batch_stats():
         not np.allclose(np.asarray(b), np.asarray(a))
         for b, a in zip(before, after))
     assert changed
+
+
+@pytest.mark.parametrize("bn, n_bn, layers", [
+    (True, 16, [1, 2, 3, 4]),
+    (True, 20, [2, 3, 3, 4]),
+    (False, 0, [2, 3, 3, 4])])
+def test_unet_batchnorm_counts_match_reference(bn, n_bn, layers):
+    """Unet instantiates the same number of BatchNorm layers per config
+    as the reference (`test_trainer.py:232-245`)."""
+    net, _ = init_fcnn_model("Unet", 3, batch_norm=bn, layers=layers)
+    v = dict(net.init({"params": jax.random.key(0),
+                       "dropout": jax.random.key(0)},
+                      jnp.zeros((1, 32, 32, 1)), False))
+    bs = v.get("batch_stats", {})
+    n = len([1 for p, _ in jax.tree_util.tree_leaves_with_path(bs)
+             if p[-1].key == "mean"]) if bs else 0
+    assert n == n_bn
+
+
+@pytest.mark.parametrize("dropout", [False, True])
+def test_unet_dropout_active_only_when_enabled(dropout):
+    """dropout=True adds stochastic layers that fire in train mode
+    (reference `test_trainer.py:248-260` counts 3 Dropout modules)."""
+    net, _ = init_fcnn_model("Unet", 1, dropout=dropout,
+                             layers=[1, 1, 1, 1], nb_filters=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 1),
+                    jnp.float32)
+    v = dict(net.init({"params": jax.random.key(0),
+                       "dropout": jax.random.key(0)}, x, False))
+    var = {"params": v["params"]}
+    if "batch_stats" in v:
+        var["batch_stats"] = v["batch_stats"]
+
+    def fwd(key):
+        out = net.apply(var, x, True, rngs={"dropout": key},
+                        mutable=["batch_stats"])
+        return np.asarray(out[0] if isinstance(out, tuple) else out)
+
+    o1, o2 = fwd(jax.random.key(1)), fwd(jax.random.key(2))
+    if dropout:
+        assert not np.array_equal(o1, o2)
+    else:
+        np.testing.assert_array_equal(o1, o2)
