@@ -111,3 +111,38 @@ def test_unet_dropout_active_only_when_enabled(dropout):
         assert not np.array_equal(o1, o2)
     else:
         np.testing.assert_array_equal(o1, o2)
+
+
+def _n_bn(v):
+    bs = dict(v).get("batch_stats", {})
+    return len([1 for p, _ in jax.tree_util.tree_leaves_with_path(bs)
+                if p[-1].key == "mean"]) if bs else 0
+
+
+@pytest.mark.parametrize("bn, n_bn, layers", [
+    (True, 6, [1, 2, 2, 1]),
+    (True, 10, [2, 3, 3, 2]),
+    (False, 0, [3, 4, 4, 1])])
+def test_dilnet_batchnorm_counts_match_reference(bn, n_bn, layers):
+    """dilnet BatchNorm layer census per config matches the reference
+    (`test_trainer.py:280-293`)."""
+    net, _ = init_fcnn_model("dilnet", 3, batch_norm=bn, layers=layers)
+    v = net.init({"params": jax.random.key(0),
+                  "dropout": jax.random.key(0)},
+                 jnp.zeros((1, 32, 32, 1)), False)
+    assert _n_bn(v) == n_bn
+
+
+@pytest.mark.parametrize("bn, el, dl, n_bn", [
+    (True, 2, 2, 5), (True, 3, 4, 8), (False, 3, 4, 0)])
+def test_imspec_batchnorm_counts_match_reference(bn, el, dl, n_bn):
+    """ImSpec encoder/decoder BatchNorm census per config matches the
+    reference (`test_trainer.py:355-368`)."""
+    from atomai_tpu.nets import init_imspec_model
+
+    net, _ = init_imspec_model((16, 16), (32,), 2, batch_norm=bn,
+                               nblayers_encoder=el, nblayers_decoder=dl)
+    v = net.init({"params": jax.random.key(0),
+                  "dropout": jax.random.key(0)},
+                 jnp.zeros((1, 16, 16)), False)
+    assert _n_bn(v) == n_bn
