@@ -89,6 +89,15 @@ def load_model(filepath: Union[str, Tuple[Dict, Dict], Dict]):
             model = vae_cls(in_dim, latent_dim, nb_classes=nb_classes,
                             **kwargs)
         model.load_weights_from_arrays(arrays)
+        # restore training-progress counters so continued training keeps
+        # annealing capacity/temperature from where the fit stopped
+        # (reference contract, `test_loaders.py:162-169`)
+        if meta.get("num_iter") is not None:
+            model.num_iter = int(meta["num_iter"])
+            model.metadict["num_iter"] = model.num_iter
+        if meta.get("num_epochs") is not None:
+            model.current_epoch = int(meta["num_epochs"])
+            model.metadict["num_epochs"] = model.current_epoch
         return model
     elif model_type == "denoising_autoencoder":
         from .denoiser import DenoisingAutoencoder

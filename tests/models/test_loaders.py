@@ -148,3 +148,21 @@ def test_denoiser_2d_input_gets_batch_axis():
     img = np.random.RandomState(0).rand(16, 16).astype(np.float32)
     X, y, Xt, yt = preprocess_denoiser_data(img, img, img, img)
     assert X.shape == (1, 16, 16, 1) and yt.shape == (1, 16, 16, 1)
+
+
+def test_vae_num_iter_restored_on_load(tmp_path):
+    """The capacity/temperature-annealing iteration counter must survive
+    the save/load round trip so continued training anneals from where
+    the fit stopped (reference `test_loaders.py:162-169`)."""
+    from atomai_tpu.models import jVAE
+
+    X = np.random.RandomState(0).rand(16, 8, 8).astype(np.float32)
+    m = jVAE((8, 8), latent_dim=2, discrete_dim=[2],
+             numlayers_encoder=1, numhidden_encoder=8,
+             numlayers_decoder=1, numhidden_decoder=8)
+    m.fit(X, training_cycles=2, batch_size=8,
+          filename=str(tmp_path / "jvi"))
+    assert m.num_iter > 0
+    loaded = load_model(str(tmp_path / "jvi") + ".aoi")
+    assert loaded.num_iter == m.num_iter
+    assert loaded.metadict["num_iter"] == m.metadict["num_iter"]
