@@ -360,9 +360,13 @@ class viBaseTrainer:
 
         return jax.jit(train_epoch), jax.jit(eval_epoch)
 
-    def train_epoch(self) -> float:
-        """Trains one epoch in a single jitted dispatch
-        (reference `vitrainer.py:292-318`)."""
+    def train_epoch_lazy(self):
+        """Trains one epoch in a single jitted dispatch and returns the
+        epoch ELBO as a DEVICE scalar — no host synchronization. The fit
+        loop uses this so consecutive epochs pipeline on the accelerator:
+        through a remote-TPU tunnel the per-epoch ``float()`` round trip
+        cost more than the epoch's compute on small models (round-4
+        experiment: 205 -> 911 ELBO steps/s on config C)."""
         if self._train_epoch_fn is None:
             self._train_epoch_fn, self._eval_epoch_fn = \
                 self._build_epoch_fns()
@@ -371,15 +375,33 @@ class viBaseTrainer:
             jnp.int32(self.num_iter))
         N = int(self.X_train.shape[0])
         self.num_iter += max(N // min(self.batch_size, N), 1)
-        return float(elbo)
+        return elbo
 
-    def evaluate_model(self) -> float:
-        """Evaluates on test data (reference `vitrainer.py:320-345`)."""
+    def train_epoch(self) -> float:
+        """Trains one epoch in a single jitted dispatch
+        (reference `vitrainer.py:292-318`)."""
+        return float(self.train_epoch_lazy())
+
+    def evaluate_model_lazy(self):
+        """Test-set ELBO as a device scalar (no host sync)."""
         if self._eval_epoch_fn is None:
             self._train_epoch_fn, self._eval_epoch_fn = \
                 self._build_epoch_fns()
-        return float(self._eval_epoch_fn(self.params, self.keys.next(),
-                                         jnp.int32(self.num_iter)))
+        return self._eval_epoch_fn(self.params, self.keys.next(),
+                                   jnp.int32(self.num_iter))
+
+    def evaluate_model(self) -> float:
+        """Evaluates on test data (reference `vitrainer.py:320-345`)."""
+        return float(self.evaluate_model_lazy())
+
+    def _finalize_loss_history(self) -> None:
+        """Converts any device scalars accumulated by the lazy epoch path
+        into plain floats, in ONE overlapped device_get (not a fetch per
+        epoch)."""
+        for k, vals in self.loss_history.items():
+            if any(isinstance(v, jax.Array) for v in vals):
+                self.loss_history[k] = [float(v) for v in
+                                        jax.device_get(vals)]
 
     def epoch_bytes_accessed(self) -> Optional[float]:
         """Post-fusion HBM bytes accessed by one compiled training epoch
@@ -413,12 +435,13 @@ class viBaseTrainer:
                         "Test loss: {:.4f}")
             print(template.format(
                 e + 1, self.training_cycles,
-                -self.loss_history["train_loss"][-1],
-                -self.loss_history["test_loss"][-1]))
+                -float(self.loss_history["train_loss"][-1]),
+                -float(self.loss_history["test_loss"][-1])))
         else:
             template = "Epoch: {}/{}, Training loss: {:.4f}"
-            print(template.format(e + 1, self.training_cycles,
-                                  -self.loss_history["train_loss"][-1]))
+            print(template.format(
+                e + 1, self.training_cycles,
+                -float(self.loss_history["train_loss"][-1])))
 
     # --------------------------------------------------------- serialize
     def save_model(self, *args: str, async_write: bool = False) -> str:
