@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Trained-mask IoU parity: reference (torch CPU) vs atomai_tpu (TPU).
+
+BASELINE.json's north star requires ">=10x ... with mask IoU parity".
+This measures the ACHIEVED held-out IoU of both frameworks trained on
+the same data with the same config — the reference's quality bar is its
+IoU metric (`/root/reference/atomai/losses_metrics/metrics.py:16-95`)
+wired as SegTrainer accuracy
+(`/root/reference/atomai/trainers/trainer.py:731-737`).
+
+Protocol (round 4, 2026-08-18):
+- data: atomai_tpu.utils.make_lattice_stack(16, 128, spacing=16, seed=7)
+  -> first 12 frames train, last 4 held out. Fully deterministic.
+- both frameworks: Segmentor("Unet", nb_classes=1) default width
+  (nb_filters=16), 100 training cycles (1 cycle = 1 random minibatch,
+  both frameworks' default epoch mode), batch 4, no augmentation, SWA
+  off, default Adam lr.
+- metric: ONE neutral numpy implementation of the reference's IoU
+  semantics applied to both frameworks' predicted probability maps:
+  sigmoid -> threshold 0.5 -> 2-class (bg/fg) confusion histogram ->
+  mean Jaccard over classes, averaged over the 4 held-out frames.
+  Using one implementation for both removes metric-implementation skew.
+- the reference runs on torch CPU via the tests/_refshim import stubs
+  (same approach as the config-A/E speed baselines; gpytorch et al are
+  not installed in this container).
+
+Run:  python scripts/measure_iou_parity.py [ref|ours|both]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_IMG, SIZE, SPACING, SEED = 16, 128, 16, 7
+N_TRAIN = 12
+CYCLES = 100
+# batch 4: the held-out split is 4 frames and the reference's array2list
+# requires test_size >= batch_size (preproc.py:181 crashes otherwise)
+BATCH = 4
+
+
+def mean_jaccard(prob_fg: np.ndarray, true: np.ndarray) -> float:
+    """Reference IoU semantics (metrics.py:16-95) in plain numpy:
+    threshold the foreground probability at 0.5, build the 2-class
+    confusion histogram over all frames, mean Jaccard over classes."""
+    pred = (np.asarray(prob_fg) >= 0.5).astype(np.int64).ravel()
+    true = (np.asarray(true) > 0.5).astype(np.int64).ravel()
+    hist = np.bincount(2 * true + pred, minlength=4).reshape(2, 2)
+    inter = np.diag(hist).astype(np.float64)
+    a = hist.sum(1)
+    b = hist.sum(0)
+    jcd = inter / (a + b - inter + 1e-10)
+    return float(np.mean(jcd[~np.isnan(jcd)]))
+
+
+def make_data():
+    from atomai_tpu.utils import make_lattice_stack
+    imgs, masks, _ = make_lattice_stack(
+        n_images=N_IMG, size=SIZE, spacing=SPACING, seed=SEED)
+    return (imgs[:N_TRAIN], masks[:N_TRAIN],
+            imgs[N_TRAIN:], masks[N_TRAIN:])
+
+
+def measure_ours():
+    import atomai_tpu as aoi
+    from atomai_tpu.core.dtypes import enable_compilation_cache
+    enable_compilation_cache("/tmp/atomai_tpu_xla_cache")
+    Xtr, ytr, Xts, yts = make_data()
+    m = aoi.models.Segmentor("Unet", nb_classes=1)
+    t0 = time.time()
+    m.fit(Xtr, ytr, Xts, yts, training_cycles=CYCLES, batch_size=BATCH,
+          print_loss=CYCLES, filename="/tmp/iou_parity_ours")
+    t_fit = time.time() - t0
+    prob = m.predict(Xts, compute_coords=False, verbose=False)
+    iou = mean_jaccard(prob[..., 0], yts)
+    print(f"OURS  (TPU):  held-out IoU = {iou:.4f}  (fit {t_fit:.1f}s)")
+    return iou
+
+
+def measure_ref():
+    shim = os.path.join(os.path.dirname(__file__), "..", "tests",
+                        "_refshim")
+    sys.path.insert(0, shim)
+    sys.path.insert(1, "/root/reference")
+    import torch
+    torch.set_num_threads(max(os.cpu_count() - 1, 1))
+    from atomai.models import Segmentor  # noqa: reference package
+    Xtr, ytr, Xts, yts = make_data()
+    m = Segmentor("Unet", nb_classes=1)
+    t0 = time.time()
+    m.fit(Xtr, ytr, Xts, yts, training_cycles=CYCLES, batch_size=BATCH,
+          print_loss=CYCLES, filename="/tmp/iou_parity_ref")
+    t_fit = time.time() - t0
+    out = m.predict(Xts, compute_coords=False)
+    prob = np.asarray(out[0] if isinstance(out, tuple) else out)
+    if prob.ndim == 4:
+        prob = prob[..., 0] if prob.shape[-1] == 1 else prob[:, 0]
+    iou = mean_jaccard(prob, yts)
+    print(f"REF (torch-CPU): held-out IoU = {iou:.4f}  (fit {t_fit:.1f}s)")
+    import json
+    rec = {"iou_ref": round(iou, 4), "fit_s": round(t_fit, 1),
+           "protocol": (f"{N_IMG}x{SIZE}^2 stack seed {SEED}, "
+                        f"{N_TRAIN} train / {N_IMG - N_TRAIN} held-out, "
+                        f"Unet nb_classes=1, {CYCLES} cycles, batch "
+                        f"{BATCH}, no augmentation; torch CPU via "
+                        "tests/_refshim")}
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "iou_parity_ref.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print("wrote", out)
+    return iou
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("ours", "both"):
+        measure_ours()
+    if which in ("ref", "both"):
+        measure_ref()
