@@ -2,11 +2,18 @@
 'Deep kernel learning' example): fit -> thompson -> measure -> refit loop.
 
 Run:  python examples/dkl_active_learning.py
+      AOI_SMOKE=1 python examples/dkl_active_learning.py   (CI gate)
 """
+
+import os
 
 import numpy as np
 
 import atomai_tpu as aoi
+
+# CI smoke tier: fewer active-learning rounds/cycles, runnability only
+SMOKE = bool(int(os.environ.get("AOI_SMOKE", "0")))
+ROUNDS, CYCLES = (2, 10) if SMOKE else (5, 50)
 
 
 def measure(X_row):
@@ -22,11 +29,11 @@ def main():
     idx_seen = list(rng.choice(500, 20, replace=False))
     y_seen = [measure(X_all[i]) for i in idx_seen]
 
-    for step in range(5):
+    for step in range(ROUNDS):
         dklgp = aoi.models.dklGPR(16, embedim=2)
         dklgp.fit(np.asarray(X_all[idx_seen]),
                   np.asarray(y_seen, np.float32),
-                  training_cycles=50, print_loss=50)
+                  training_cycles=CYCLES, print_loss=CYCLES)
         # Thompson sampling over the unmeasured candidates
         cand = [i for i in range(500) if i not in idx_seen]
         _, next_i = dklgp.thompson(X_all[cand])

@@ -18,9 +18,14 @@ import numpy as np
 import atomai_tpu as aoi
 
 FULL = bool(int(os.environ.get("ENSEMBLE_FULL", "0")))
-SIZE = 96 if FULL else 48
-CYCLES = 200 if FULL else 120
-N_MODELS = 10 if FULL else 4
+# CI smoke tier: the default test gate runs every example end-to-end
+# with minimal shapes/cycles (runnability, not model quality)
+SMOKE = bool(int(os.environ.get("AOI_SMOKE", "0")))
+SIZE = 96 if FULL else (32 if SMOKE else 48)
+CYCLES = 200 if FULL else (15 if SMOKE else 120)
+N_MODELS = 10 if FULL else (2 if SMOKE else 4)
+# smoke also shrinks the net (single-core CI compile time)
+NET_KW = dict(nb_filters=8, layers=[1, 1, 1, 1]) if SMOKE else {}
 
 
 def main():
@@ -29,7 +34,8 @@ def main():
 
     # all members train at once: parameters/optimizer states/batch
     # schedules carry a leading member axis inside one jitted scan
-    etrainer = aoi.trainers.EnsembleTrainer("Unet", nb_classes=1)
+    etrainer = aoi.trainers.EnsembleTrainer("Unet", nb_classes=1,
+                                            **NET_KW)
     etrainer.compile_ensemble_trainer(
         training_cycles=CYCLES, batch_size=8, swa=True,
         filename="/tmp/example_ens")

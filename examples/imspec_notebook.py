@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import atomai_tpu as aoi  # noqa: E402
 
 FULL = bool(int(os.environ.get("IMSPEC_FULL", "0")))
-CYCLES = 300 if FULL else 30
-N = 1024 if FULL else 256
+# CI smoke tier: minimal cycles/samples, runnability only
+SMOKE = bool(int(os.environ.get("AOI_SMOKE", "0")))
+CYCLES = 300 if FULL else (5 if SMOKE else 30)
+N = 1024 if FULL else (128 if SMOKE else 256)
 IN_DIM = (16, 16)
 OUT_DIM = (32,)
 
@@ -70,7 +72,8 @@ def main():
 
     # -- 4. initialize + train (notebook: latent_dim=10, lr 1e-4 Adam) -
     model = aoi.models.ImSpec(IN_DIM, OUT_DIM, latent_dim=10,
-                              nblayers_encoder=2, nblayers_decoder=3)
+                              nblayers_encoder=1 if SMOKE else 2,
+                              nblayers_decoder=2 if SMOKE else 3)
     model.fit(imgs_train, spectra_train, imgs_test, spectra_test,
               full_epoch=True, training_cycles=CYCLES, batch_size=64,
               filename="/tmp/nb_imspec")

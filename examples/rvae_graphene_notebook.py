@@ -26,8 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import atomai_tpu as aoi  # noqa: E402
 
 FULL = bool(int(os.environ.get("RVAE_FULL", "0")))
-CYCLES = 100 if FULL else 20
-N_FRAMES = 8 if FULL else 4
+# CI smoke tier: minimal frames/cycles, runnability only
+SMOKE = bool(int(os.environ.get("AOI_SMOKE", "0")))
+CYCLES = 100 if FULL else (4 if SMOKE else 20)
+N_FRAMES = 8 if FULL else (2 if SMOKE else 4)
+# smoke also shrinks the nets (single-core CI compile time)
+NET_KW = dict(numlayers_encoder=1, numhidden_encoder=64,
+              numlayers_decoder=1, numhidden_decoder=64) if SMOKE else {}
 
 
 def main():
@@ -58,14 +63,16 @@ def main():
 
     # -- 4. standard VAE ----------------------------------------------
     imstack = s.imgstack[..., 0]
-    vae = aoi.models.VAE((window_size, window_size), latent_dim=2)
+    vae = aoi.models.VAE((window_size, window_size), latent_dim=2,
+                         **NET_KW)
     vae.fit(imstack, training_cycles=CYCLES, batch_size=64,
             filename="/tmp/nb_vae")
     vae_manifold = vae.manifold2d(d=6)
     print("VAE manifold:", vae_manifold.shape)
 
     # -- 5. rVAE: rotation becomes latent 0, translations 1-2 ----------
-    rvae = aoi.models.rVAE((window_size, window_size), latent_dim=2)
+    rvae = aoi.models.rVAE((window_size, window_size), latent_dim=2,
+                           **NET_KW)
     rvae.fit(imstack, training_cycles=CYCLES, batch_size=64,
              rotation_prior=np.pi / 3, translation_prior=0.1,
              filename="/tmp/nb_rvae")

@@ -3,24 +3,35 @@ segmentation' example): synthetic lattice -> Segmentor.fit with on-device
 augmentation + SWA -> predict -> atomic coordinates -> statistics.
 
 Run:  python examples/segmentation_workflow.py
+      AOI_SMOKE=1 python examples/segmentation_workflow.py   (CI gate)
 """
+
+import os
 
 import numpy as np
 
 import atomai_tpu as aoi
 
+# CI smoke tier: the default test gate runs every example end-to-end
+# with minimal shapes/cycles (runnability, not model quality)
+SMOKE = bool(int(os.environ.get("AOI_SMOKE", "0")))
+N_IMAGES, SIZE, CYCLES = (8, 64, 20) if SMOKE else (16, 96, 80)
+# smoke also shrinks the net: XLA compile time on the single-core CI
+# host scales with program size, and the gate checks runnability
+NET_KW = dict(nb_filters=8, layers=[1, 1, 1, 1]) if SMOKE else {}
+
 
 def main():
     # synthetic training data: graphene-like lattices + ground-truth masks
     images, masks, true_coords = aoi.utils.make_lattice_stack(
-        n_images=16, size=96, spacing=12, seed=0)
+        n_images=N_IMAGES, size=SIZE, spacing=12, seed=0)
 
     # train a UNet with stochastic weight averaging and on-device
     # rotation/noise augmentation
-    model = aoi.models.Segmentor("Unet", nb_classes=1)
+    model = aoi.models.Segmentor("Unet", nb_classes=1, **NET_KW)
     model.fit(images, masks,
-              training_cycles=80, batch_size=8, swa=True,
-              compute_accuracy=True, print_loss=40,
+              training_cycles=CYCLES, batch_size=8, swa=True,
+              compute_accuracy=True, print_loss=CYCLES // 2,
               rotation=True, gauss_noise=[10, 40],
               filename="/tmp/example_seg")
 

@@ -92,9 +92,13 @@ def test_regressor_classifier_save_load_parity(tmp_path):
     with forward parity (reference `test_io_regressor`/`test_io_classifier`)."""
     rng = np.random.RandomState(5)
     X = rng.rand(48, 16, 16).astype(np.float32)
-    yr = X.mean(axis=(1, 2))[:, None].astype(np.float32)
-    reg = Regressor(out_dim=1, backbone="mobilenet")
-    reg.fit(X, yr, training_cycles=2, batch_size=16, print_loss=2,
+    # out_dim/cycles/batch match test_regressor exactly, so the fit
+    # program is an XLA-cache hit instead of a fresh ~15 s single-core
+    # compile (same for the classifier below vs test_classifier)
+    yr = np.stack([X.mean(axis=(1, 2)), X.std(axis=(1, 2))],
+                  -1).astype(np.float32)
+    reg = Regressor(out_dim=2, backbone="mobilenet")
+    reg.fit(X, yr, training_cycles=3, batch_size=16, print_loss=3,
             filename=str(tmp_path / "regio"))
     p = reg.save_model(str(tmp_path / "regio_saved"))
     reg2 = load_model(p)
@@ -104,7 +108,7 @@ def test_regressor_classifier_save_load_parity(tmp_path):
 
     yc = rng.randint(0, 3, 48)
     cls = Classifier(nb_classes=3, backbone="mobilenet")
-    cls.fit(X, yc, training_cycles=2, batch_size=16, print_loss=2,
+    cls.fit(X, yc, training_cycles=3, batch_size=16, print_loss=3,
             filename=str(tmp_path / "clsio"))
     p = cls.save_model(str(tmp_path / "clsio_saved"))
     cls2 = load_model(p)

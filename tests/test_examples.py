@@ -1,9 +1,10 @@
-"""Example scripts stay runnable (CI-light mode).
+"""Example scripts stay runnable — ALL of them, by default.
 
-Every example self-limits to tiny shapes/cycles when run directly. The
-default gate executes the fastest one end-to-end; set
-``AOI_RUN_ALL_EXAMPLES=1`` to sweep the full set (minutes on CPU —
-training examples compile real models)."""
+The reference CI runs its full suite on every push
+(`/root/reference/.github/workflows/actions.yml:1-60`); this gate runs
+every example end-to-end in its AOI_SMOKE=1 tier (minimal shapes/cycles
+— runnability, not model quality). Set ``AOI_RUN_ALL_EXAMPLES=1`` to
+additionally sweep the larger CI-light tier (minutes on CPU)."""
 
 import os
 import subprocess
@@ -14,14 +15,19 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = os.path.join(ROOT, "examples")
 
-FAST = ["graph_analysis_notebook.py"]
 ALL = sorted(f for f in os.listdir(EXAMPLES) if f.endswith(".py"))
 
 
-def _run(name):
+def _run(name, smoke=True):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=ROOT + os.pathsep + os.environ.get(
                    "PYTHONPATH", ""))
+    if smoke:
+        env["AOI_SMOKE"] = "1"
+    # share the suite's persistent XLA compile cache with the example
+    # subprocesses (repeat runs of an unchanged example skip compiles)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(ROOT, ".cache", "xla"))
     r = subprocess.run([sys.executable, os.path.join(EXAMPLES, name)],
                        capture_output=True, text=True, timeout=900,
                        env=env, cwd="/tmp")
@@ -29,13 +35,14 @@ def _run(name):
         f"{name} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
 
 
-@pytest.mark.parametrize("name", FAST)
-def test_fast_example_runs(name):
-    _run(name)
+@pytest.mark.parametrize("name", ALL)
+def test_example_runs_smoke(name):
+    _run(name, smoke=True)
 
 
 @pytest.mark.skipif(not os.environ.get("AOI_RUN_ALL_EXAMPLES"),
-                    reason="set AOI_RUN_ALL_EXAMPLES=1 for the full sweep")
-@pytest.mark.parametrize("name", [n for n in ALL if n not in FAST])
-def test_example_runs(name):
-    _run(name)
+                    reason="set AOI_RUN_ALL_EXAMPLES=1 for the "
+                           "CI-light (non-smoke) sweep")
+@pytest.mark.parametrize("name", ALL)
+def test_example_runs_ci_light(name):
+    _run(name, smoke=False)
