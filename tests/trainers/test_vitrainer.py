@@ -103,3 +103,59 @@ def test_custom_optimizer_changes_training():
         elbos = [vae.train_epoch() for _ in range(4)]
         deltas.append(abs(elbos[-1] - elbos[0]))
     assert deltas[0] > deltas[1] * 10
+
+
+def test_epochs_per_dispatch_parity(tmp_path):
+    """fit(..., epochs_per_dispatch=n) scans n epochs per device dispatch
+    with EXACT semantics parity vs the per-epoch loop: same PRNG stream,
+    same annealing num_iter threading, same per-epoch history."""
+    import atomai_tpu as aoi
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(48, 8, 8).astype(np.float32)
+    Xt = rng.rand(16, 8, 8).astype(np.float32)
+
+    def fit_with(epd):
+        m = aoi.models.rVAE((8, 8), latent_dim=2, seed=3,
+                            numlayers_encoder=1, numhidden_encoder=16,
+                            numlayers_decoder=1, numhidden_decoder=16)
+        m.engine = "scan"  # the accelerator engine (chunking target)
+        m.fit(X, None, Xt, None, training_cycles=6, batch_size=16,
+              verbose=False, filename=str(tmp_path / f"epd{epd}"),
+              epochs_per_dispatch=epd)
+        return m
+
+    a = fit_with(1)
+    b = fit_with(3)
+    np.testing.assert_allclose(a.loss_history["train_loss"],
+                               b.loss_history["train_loss"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(a.loss_history["test_loss"],
+                               b.loss_history["test_loss"],
+                               rtol=1e-5, atol=1e-5)
+    la = jax.tree.leaves(a.params)
+    lb = jax.tree.leaves(b.params)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+    assert len(a.loss_history["train_loss"]) == 6
+    assert a.num_iter == b.num_iter
+
+
+def test_set_data_invalidates_chunked_epoch_programs(tmp_path):
+    """Chunked-epoch programs close over the staged arrays via the epoch
+    fns; re-staging data must invalidate them or epochs_per_dispatch
+    would silently train on the REPLACED data."""
+    import atomai_tpu as aoi
+
+    rng = np.random.RandomState(0)
+    X = rng.rand(32, 8, 8).astype(np.float32)
+    m = aoi.models.rVAE((8, 8), latent_dim=2, seed=3,
+                        numlayers_encoder=1, numhidden_encoder=16,
+                        numlayers_decoder=1, numhidden_decoder=16)
+    m.engine = "scan"
+    m.fit(X, training_cycles=4, batch_size=16, verbose=False,
+          filename=str(tmp_path / "chunkinv"), epochs_per_dispatch=2)
+    assert m._epochs_chunk_cache  # populated by the chunked fit
+    m.set_data(np.zeros((32, 8, 8), np.float32))
+    assert not m._epochs_chunk_cache
+    assert m._train_epoch_fn is None
