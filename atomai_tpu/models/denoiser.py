@@ -12,7 +12,7 @@ import flax.linen as nn
 import numpy as np
 
 from ..core.checkpoint import load_checkpoint
-from ..nets.blocks import ConvBlock, UpsampleBlock, max_pool
+from ..nets.blocks import init_kwargs, ConvBlock, UpsampleBlock, max_pool
 from ..predictors import BasePredictor
 from ..trainers import BaseTrainer
 from ..utils import preproc
@@ -44,7 +44,8 @@ class DenoiserNet(nn.Module):
                                   mode=self.upsampling_mode)(x)
             x = ConvBlock(2, layers, filters,
                           batch_norm=self.use_batch_norm)(x, train)
-        return nn.Conv(1, (1, 1), padding=0)(x)
+        return nn.Conv(1, (1, 1), padding=0,
+                       **init_kwargs(x.shape[-1]))(x)
 
 
 def preprocess_denoiser_data(X_train, y_train, X_test, y_test):

@@ -22,6 +22,13 @@ import jax.numpy as jnp
 
 _BN = dict(momentum=0.9, epsilon=1e-5)  # torch BatchNorm2d defaults
 
+# torchvision resnet/vgg/mobilenet apply kaiming_normal(fan_out, relu)
+# to every conv at construction (weights=None keeps that init); match
+# the distribution so training-from-scratch dynamics are comparable.
+_TV_CONV_INIT = dict(
+    kernel_init=nn.initializers.variance_scaling(2.0, "fan_out",
+                                                 "normal"))
+
 
 class Bottleneck(nn.Module):
     """torchvision ResNet Bottleneck (expansion 4)."""
@@ -33,22 +40,26 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         f = self.filters
         identity = x
-        out = nn.Conv(f, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(f, (1, 1), use_bias=False, name="conv1",
+                      **_TV_CONV_INIT)(x)
         out = nn.BatchNorm(use_running_average=not train, name="bn1",
                            **_BN)(out)
         out = nn.relu(out)
         out = nn.Conv(f, (3, 3), strides=(self.stride, self.stride),
-                      padding=1, use_bias=False, name="conv2")(out)
+                      padding=1, use_bias=False, name="conv2",
+                      **_TV_CONV_INIT)(out)
         out = nn.BatchNorm(use_running_average=not train, name="bn2",
                            **_BN)(out)
         out = nn.relu(out)
-        out = nn.Conv(4 * f, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(4 * f, (1, 1), use_bias=False, name="conv3",
+                      **_TV_CONV_INIT)(out)
         out = nn.BatchNorm(use_running_average=not train, name="bn3",
                            **_BN)(out)
         if self.downsample:
             identity = nn.Conv(4 * f, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, name="downsample_conv",
+                               **_TV_CONV_INIT)(x)
             identity = nn.BatchNorm(use_running_average=not train,
                                     name="downsample_bn", **_BN)(identity)
         return nn.relu(out + identity)
@@ -63,7 +74,7 @@ class ResNet50Features(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    name="conv1")(x)
+                    name="conv1", **_TV_CONV_INIT)(x)
         x = nn.BatchNorm(use_running_average=not train, name="bn1",
                          **_BN)(x)
         x = nn.relu(x)
@@ -99,7 +110,8 @@ class VGG16Features(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 idx += 1
             else:
-                x = nn.Conv(v, (3, 3), padding=1, name=f"conv{idx}")(x)
+                x = nn.Conv(v, (3, 3), padding=1, name=f"conv{idx}",
+                            **_TV_CONV_INIT)(x)
                 x = nn.relu(x)
                 idx += 2
         return x
@@ -118,18 +130,19 @@ class InvertedResidual(nn.Module):
         use_res = self.stride == 1 and self.in_ch == self.out_ch
         out = x
         if self.expand_ratio != 1:
-            out = nn.Conv(hidden, (1, 1), use_bias=False, name="pw")(out)
+            out = nn.Conv(hidden, (1, 1), use_bias=False, name="pw",
+                          **_TV_CONV_INIT)(out)
             out = nn.BatchNorm(use_running_average=not train,
                                name="pw_bn", **_BN)(out)
             out = nn.relu6(out)
         out = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
                       padding=1, feature_group_count=hidden,
-                      use_bias=False, name="dw")(out)
+                      use_bias=False, name="dw", **_TV_CONV_INIT)(out)
         out = nn.BatchNorm(use_running_average=not train, name="dw_bn",
                            **_BN)(out)
         out = nn.relu6(out)
         out = nn.Conv(self.out_ch, (1, 1), use_bias=False,
-                      name="project")(out)
+                      name="project", **_TV_CONV_INIT)(out)
         out = nn.BatchNorm(use_running_average=not train,
                            name="project_bn", **_BN)(out)
         return x + out if use_res else out
@@ -148,7 +161,7 @@ class MobileNetV2Features(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
-                    name="stem_conv")(x)
+                    name="stem_conv", **_TV_CONV_INIT)(x)
         x = nn.BatchNorm(use_running_average=not train, name="stem_bn",
                          **_BN)(x)
         x = nn.relu6(x)
@@ -160,7 +173,8 @@ class MobileNetV2Features(nn.Module):
                                      name=f"block{bi}")(x, train)
                 in_ch = c
                 bi += 1
-        x = nn.Conv(1280, (1, 1), use_bias=False, name="head_conv")(x)
+        x = nn.Conv(1280, (1, 1), use_bias=False, name="head_conv",
+                    **_TV_CONV_INIT)(x)
         x = nn.BatchNorm(use_running_average=not train, name="head_bn",
                          **_BN)(x)
         return nn.relu6(x)

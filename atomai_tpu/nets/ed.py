@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .blocks import ConvBlock, DilatedBlock, _cdtype
+from .blocks import ConvBlock, DilatedBlock, _cdtype, init_kwargs
 
 
 def _as_channel_last(x, ndim_signal: int):
@@ -59,7 +59,7 @@ class SignalEncoder(nn.Module):
         x = ConvBlock(ndim, self.nb_layers, self.nb_filters, lrelu_a=0.1,
                       batch_norm=self.batch_norm)(x, train)
         x = x.reshape(x.shape[0], -1)
-        return nn.Dense(self.z_dim)(x)
+        return nn.Dense(self.z_dim, **init_kwargs(x.shape[-1]))(x)
 
 
 class SignalDecoder(nn.Module):
@@ -80,7 +80,8 @@ class SignalDecoder(nn.Module):
         ndim = len(sdim)
         work_dim = tuple(s // 4 for s in sdim) if self.upsampling else sdim
         n = int(np.prod(work_dim))
-        x = nn.Dense(self.nb_filters * n, dtype=_cdtype())(z)
+        x = nn.Dense(self.nb_filters * n, dtype=_cdtype(),
+                     **init_kwargs(z.shape[-1]))(z)
         x = x.reshape((-1,) + work_dim + (self.nb_filters,))
         if self.upsampling:
             for _ in range(2):
@@ -97,7 +98,8 @@ class SignalDecoder(nn.Module):
                          batch_norm=self.batch_norm)(x, train)
         x = ConvBlock(ndim, 1, 1, lrelu_a=0.1,
                       batch_norm=self.batch_norm)(x, train)
-        x = nn.Conv(1, (1,) * ndim, padding=0)(x)
+        x = nn.Conv(1, (1,) * ndim, padding=0,
+                    **init_kwargs(x.shape[-1]))(x)
         return x[..., 0]  # drop channel dim -> (N, L) / (N, H, W)
 
 

@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Tuple, Union
 import flax.linen as nn
 import jax
 
-from .blocks import (ConvBlock, DilatedBlock, ResModule, UpsampleBlock,
+from .blocks import (init_kwargs, ConvBlock, DilatedBlock, ResModule, UpsampleBlock,
                      max_pool)
 
 
@@ -65,7 +65,8 @@ class Unet(nn.Module):
         u1 = UpsampleBlock(2, nf, mode=self.upsampling_mode)(u2)
         u1 = jax.numpy.concatenate([c1, u1], axis=-1)
         u1 = ConvBlock(2, nbl[0], nf, **bn_kw)(u1, train)
-        return nn.Conv(self.nb_classes, (1, 1), padding=0)(u1)
+        return nn.Conv(self.nb_classes, (1, 1), padding=0,
+                       **init_kwargs(u1.shape[-1]))(u1)
 
 
 class dilnet(nn.Module):
@@ -94,7 +95,8 @@ class dilnet(nn.Module):
         u1 = UpsampleBlock(2, nf, mode=self.upsampling_mode)(at2)
         u1 = jax.numpy.concatenate([c1, u1], axis=-1)
         u1 = ConvBlock(2, nbl[3], nf, batch_norm=self.batch_norm)(u1, train)
-        return nn.Conv(self.nb_classes, (1, 1), padding=0)(u1)
+        return nn.Conv(self.nb_classes, (1, 1), padding=0,
+                       **init_kwargs(u1.shape[-1]))(u1)
 
 
 class ResHedNet(nn.Module):
@@ -115,7 +117,8 @@ class ResHedNet(nn.Module):
             max_pool(net2out, 2), train)
 
         def score(t):
-            t = nn.Conv(self.nb_classes, (1, 1), padding=0)(t)
+            t = nn.Conv(self.nb_classes, (1, 1), padding=0,
+                       **init_kwargs(t.shape[-1]))(t)
             return nn.BatchNorm(use_running_average=not train,
                                 momentum=0.9, epsilon=1e-5)(t)
 
@@ -127,7 +130,8 @@ class ResHedNet(nn.Module):
         s2 = jax.image.resize(s2, (n, h, w, s2.shape[-1]), method=method)
         s3 = jax.image.resize(s3, (n, h, w, s3.shape[-1]), method=method)
         cat = jax.numpy.concatenate([s1, s2, s3], axis=-1)
-        return nn.Conv(self.nb_classes, (1, 1), padding=0)(cat)
+        return nn.Conv(self.nb_classes, (1, 1), padding=0,
+                       **init_kwargs(cat.shape[-1]))(cat)
 
 
 class SegResNet(nn.Module):
@@ -155,7 +159,8 @@ class SegResNet(nn.Module):
         u1 = UpsampleBlock(2, nf, mode=self.upsampling_mode)(u2)
         u1 = jax.numpy.concatenate([c1, u1], axis=-1)
         u1 = ConvBlock(2, 1, nf, batch_norm=self.batch_norm)(u1, train)
-        return nn.Conv(self.nb_classes, (1, 1), padding=0)(u1)
+        return nn.Conv(self.nb_classes, (1, 1), padding=0,
+                       **init_kwargs(u1.shape[-1]))(u1)
 
 
 # downsample factor of each architecture (static — replaces the reference's

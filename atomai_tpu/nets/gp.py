@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .blocks import init_kwargs
+
 
 class fcFeatureExtractor(nn.Module):
     """MLP feature extractor (`atomai/nets/gp.py:14-26`)."""
@@ -27,10 +29,10 @@ class fcFeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, x):
         dims = list(self.hidden_dim) + [self.embedim]
-        x = nn.Dense(dims[0])(x)
+        x = nn.Dense(dims[0], **init_kwargs(x.shape[-1]))(x)
         for h in dims[1:]:
             x = nn.relu(x)
-            x = nn.Dense(h)(x)
+            x = nn.Dense(h, **init_kwargs(x.shape[-1]))(x)
         return x
 
 

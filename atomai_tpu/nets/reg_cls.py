@@ -11,7 +11,7 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax
 
-from .blocks import ConvBackbone
+from .blocks import init_kwargs, ConvBackbone
 
 
 class RegressorNet(nn.Module):
@@ -24,7 +24,7 @@ class RegressorNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBackbone(self.backbone_type)(x, train)
-        return nn.Dense(self.output_size)(x)
+        return nn.Dense(self.output_size, **init_kwargs(x.shape[-1]))(x)
 
 
 class ClassifierNet(nn.Module):
@@ -36,7 +36,7 @@ class ClassifierNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBackbone(self.backbone_type)(x, train)
-        x = nn.Dense(self.num_classes)(x)
+        x = nn.Dense(self.num_classes, **init_kwargs(x.shape[-1]))(x)
         return jax.nn.log_softmax(x, axis=1)
 
 
@@ -49,7 +49,8 @@ class MultiTaskClassifierNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBackbone(self.backbone_type)(x, train)
-        return [jax.nn.log_softmax(nn.Dense(n)(x), axis=1)
+        return [jax.nn.log_softmax(
+            nn.Dense(n, **init_kwargs(x.shape[-1]))(x), axis=1)
                 for n in self.num_classes]
 
 

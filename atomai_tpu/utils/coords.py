@@ -249,6 +249,11 @@ def cluster_coord(coord_class_dict: Dict[int, np.ndarray], eps: float,
     """Collapse stack coordinates onto xy plane + DBSCAN (:304-347)."""
     coordinates_all = np.concatenate(
         [coord_class_dict[k] for k in range(len(coord_class_dict))])
+    if len(coordinates_all) == 0:
+        # no detections anywhere in the stack — empty result instead of
+        # crashing DBSCAN on a zero-sample array
+        empty2 = np.empty((0, 2), dtype=float)
+        return np.array([], dtype=object), empty2, empty2
     labels = neighbors.dbscan(coordinates_all[:, :2], eps, min_samples)
     clusters, clusters_var, clusters_mean = [], [], []
     # deviation from `coords.py:337`: the reference drops the first unique

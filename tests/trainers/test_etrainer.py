@@ -161,6 +161,16 @@ def test_ensemble_locate_format():
     np.testing.assert_allclose(cm[0][0], [11.5, 11.5], atol=0.1)
 
 
+def test_ensemble_locate_no_detections():
+    """Zero detections across every member yields empty (not a DBSCAN
+    crash on a 0-sample array)."""
+    pred = np.zeros((4, 1, 32, 32, 1), np.float32)
+    cm, cv = ensemble_locate(pred, eps=3.0, threshold=0.5,
+                             min_samples=4)
+    assert cm[0].shape == (0, 2)
+    assert cv[0].shape == (0, 2)
+
+
 def test_imspec_ensemble(tmp_path):
     rng = np.random.RandomState(0)
     X = rng.rand(32, 8, 8).astype(np.float32)
