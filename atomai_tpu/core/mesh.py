@@ -55,6 +55,18 @@ def ensemble_mesh(n_models: int,
                     devices=devices)
 
 
+def _auto_mesh_enabled() -> bool:
+    """``AOI_AUTO_MESH=0`` turns OFF auto mesh building (explicit Mesh
+    objects are always honored). Production default is on; the test suite
+    sets 0 so feature tests run single-device — on the 1-core CI host an
+    8-way virtual SPMD program costs ~3x the wall of the same single-device
+    program, and the sharded paths have dedicated 8-wide coverage
+    (tests/trainers/test_multidevice.py, the driver dryrun, and the
+    multichip example), which re-enable the knob."""
+    import os
+    return os.environ.get("AOI_AUTO_MESH", "1") != "0"
+
+
 def resolve_data_mesh(mesh=None, batch_size: Optional[int] = None
                       ) -> Optional[Mesh]:
     """Resolves the data-parallel mesh default shared by every training and
@@ -66,7 +78,8 @@ def resolve_data_mesh(mesh=None, batch_size: Optional[int] = None
       rebuild, so multi-chip hosts data-shard by default). With
       ``batch_size`` given, the mesh is sized to the largest device count
       that divides the batch — an auto mesh that cannot actually shard the
-      batch is skipped rather than compiled as a no-win SPMD program;
+      batch is skipped rather than compiled as a no-win SPMD program.
+      ``AOI_AUTO_MESH=0`` disables this auto path entirely;
     * ``False`` — explicitly disable sharding (single-device run);
     * a ``jax.sharding.Mesh`` — used as given.
     """
@@ -74,6 +87,8 @@ def resolve_data_mesh(mesh=None, batch_size: Optional[int] = None
         return None
     if mesh is not None:
         return mesh
+    if not _auto_mesh_enabled():
+        return None
     n_dev = jax.device_count()
     if n_dev <= 1:
         return None
@@ -124,6 +139,8 @@ def resolve_model_mesh(mesh, n_models: int) -> Optional[Mesh]:
         return None
     if mesh is not None:
         return mesh
+    if not _auto_mesh_enabled():
+        return None
     if jax.device_count() > 1:
         m = ensemble_mesh(n_models)
         if m.shape[MODEL_AXIS] > 1:

@@ -16,6 +16,15 @@ import jax  # noqa: E402
 # platform; tests must run on the local virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Default the suite to single-device fits: on this 1-core host an 8-way
+# virtual SPMD program costs ~3x the wall of the same single-device
+# program (tests/trainers/test_trainer.py measured 264 s at 8 devices vs
+# 87 s at 2), and auto-DP-under-every-test is redundant coverage — the
+# sharded production paths have dedicated 8-wide tests that re-enable
+# the knob (tests/trainers/test_multidevice.py, test_mesh_resolution.py,
+# the driver dryrun, and the multichip example).
+os.environ.setdefault("AOI_AUTO_MESH", "0")
+
 # persistent XLA compilation cache: identical programs (same net/shape)
 # compile once per cache lifetime instead of once per test/process — on
 # this single-core container, compilation dominates suite wall time.

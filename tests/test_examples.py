@@ -7,6 +7,7 @@ every example end-to-end in its AOI_SMOKE=1 tier (minimal shapes/cycles
 additionally sweep the larger CI-light tier (minutes on CPU)."""
 
 import os
+import re
 import subprocess
 import sys
 
@@ -30,6 +31,17 @@ def _run(name, smoke=True):
     # the "compile" time was remote-compile + tunnel round trips).
     for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
         env.pop(k, None)
+    # run examples the way a user would: auto-mesh on (drop the suite's
+    # AOI_AUTO_MESH=0 cost control) and WITHOUT the suite conftest's
+    # forced 8-device virtual platform — a plain CPU run is single-device
+    # (~40% faster here); the multichip example provisions its own 8.
+    env.pop("AOI_AUTO_MESH", None)
+    if "XLA_FLAGS" in env:
+        env["XLA_FLAGS"] = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", "",
+            env["XLA_FLAGS"]).strip()
+        if not env["XLA_FLAGS"]:
+            del env["XLA_FLAGS"]
     if smoke:
         env["AOI_SMOKE"] = "1"
     # share the suite's persistent XLA compile cache with the example

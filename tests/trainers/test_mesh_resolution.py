@@ -12,6 +12,27 @@ needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
                             reason="needs 8 (virtual) devices")
 
 
+@pytest.fixture(autouse=True)
+def _auto_mesh_on(monkeypatch):
+    """These tests pin the AUTO-resolution semantics — re-enable what the
+    suite-wide conftest default (AOI_AUTO_MESH=0) turns off."""
+    monkeypatch.setenv("AOI_AUTO_MESH", "1")
+
+
+@needs8
+def test_auto_mesh_env_optout(monkeypatch):
+    """AOI_AUTO_MESH=0 disables AUTO building only — explicit Mesh objects
+    (and mesh=False) behave identically (`core/mesh.py:_auto_mesh_enabled`,
+    the suite-wide 1-core-CI cost control)."""
+    monkeypatch.setenv("AOI_AUTO_MESH", "0")
+    assert resolve_data_mesh(None, 32) is None
+    assert resolve_model_mesh(None, 8) is None
+    m = get_mesh(n_data=2, n_model=1)
+    assert resolve_data_mesh(m, 32) is m
+    assert resolve_model_mesh(m, 8) is m
+    assert resolve_data_mesh(False, 32) is None
+
+
 @needs8
 def test_auto_data_mesh_sizes_to_batch_divisor():
     # full device count when the batch divides it

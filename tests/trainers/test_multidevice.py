@@ -9,6 +9,14 @@ from atomai_tpu.core.mesh import get_mesh
 from atomai_tpu.models import Segmentor
 
 
+@pytest.fixture(autouse=True)
+def _auto_mesh_on(monkeypatch):
+    """This module IS the dedicated 8-wide coverage of the auto-mesh
+    production paths — re-enable what the suite-wide conftest default
+    (AOI_AUTO_MESH=0, a 1-core-CI cost control) turns off."""
+    monkeypatch.setenv("AOI_AUTO_MESH", "1")
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 (virtual) devices")
 def test_dp_training_matches_single_device():

@@ -124,10 +124,13 @@ def test_nb_classes_mismatch_raises():
               filename="/tmp/aoi_mm")
 
 
-def test_mesh_false_persists_across_fits():
+def test_mesh_false_persists_across_fits(monkeypatch):
     """An explicit mesh=False opt-out must survive later fit() calls on
     the same model that omit the kwarg — None conflating 'unset' and
     'disabled' silently re-enabled auto-DP mid-workflow."""
+    # auto-mesh must be live or the 'second fit forgot the opt-out'
+    # failure mode this test pins could never manifest
+    monkeypatch.setenv("AOI_AUTO_MESH", "1")
     X, y, Xt, yt = _data()
     m = Segmentor("Unet", 1, nb_filters=4, layers=[1, 1, 1, 1], seed=1)
     m.fit(X, y, Xt, yt, training_cycles=2, batch_size=4, print_loss=2,
