@@ -77,6 +77,28 @@ def enable_fast_matmul() -> None:
     jax.config.update("jax_default_matmul_precision", "bfloat16")
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set. XLA:CPU's persistent
+    cache does NOT key on machine type: AOT executables compiled on a
+    host with different vector extensions load with a 'could lead to
+    SIGILL' warning and machine-dependent codegen numerics (observed when
+    this container migrated hosts). Segregating the cache per CPU
+    fingerprint makes stale cross-host entries unreachable."""
+    import hashlib
+    import platform
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{feats}"
+    return hashlib.sha256(key.encode()).hexdigest()[:8]
+
+
 def enable_compilation_cache(path: str = "/tmp/atomai_tpu_xla_cache",
                              min_compile_secs: float = 0.0) -> None:
     """Enables JAX's persistent compilation cache.
@@ -86,9 +108,13 @@ def enable_compilation_cache(path: str = "/tmp/atomai_tpu_xla_cache",
     jit traces within one process. On the single-core CPU test platform
     XLA compilation dominates suite wall time, and on the TPU tunnel the
     first train-step compile costs tens of seconds, so both the test
-    suite and the bench enable this.
+    suite and the bench enable this. The directory is suffixed with a
+    host-CPU fingerprint (see :func:`_host_fingerprint`).
     """
+    import os
+
     import jax
+    path = os.path.join(path, _host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

