@@ -247,7 +247,10 @@ class EnsemblePredictor(BasePredictor):
         (reference `epredictor.py:163-189`)."""
         batch_size = len(data) // num_batches
         if batch_size < 1:
-            num_batches = batch_size = 1
+            # fewer items than requested chunks: ONE full-size chunk
+            # (1 + (n-1) split would trace/compile two shapes for nothing)
+            num_batches = 1
+            batch_size = len(data)
         if self._jit_ens_forward is None:
             self._jit_ens_forward = self._make_ens_forward()
         if self._jit_ens_stats is None:

@@ -131,7 +131,10 @@ class BasePredictor:
         (reference `predictor.py:82-106`)."""
         batch_size = len(data) // num_batches
         if batch_size < 1:
-            num_batches = batch_size = 1
+            # fewer items than requested chunks: ONE full-size chunk
+            # (1 + (n-1) split would trace/compile two shapes for nothing)
+            num_batches = 1
+            batch_size = len(data)
         # dispatch every chunk asynchronously, then fetch them in one
         # overlapped device->host transfer — fetching inside the loop
         # would serialize compute and pay tunnel latency per chunk
