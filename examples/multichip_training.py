@@ -36,18 +36,23 @@ import numpy as np  # noqa: E402
 
 import atomai_tpu as aoi  # noqa: E402
 
+# CI smoke tier: same sharding paths, minimal work (the gate checks that
+# every stage provisions its mesh, not model quality)
+SMOKE = bool(int(os.environ.get("AOI_SMOKE", "0")))
+N_IMAGES, CYCLES = (8, 3) if SMOKE else (24, 10)
+
 
 def main():
     print(f"devices: {jax.device_count()}")
-    imgs, masks, _ = aoi.utils.make_lattice_stack(24, 64, 12, seed=1)
+    imgs, masks, _ = aoi.utils.make_lattice_stack(N_IMAGES, 64, 12, seed=1)
 
     # -- 1. data parallelism is the DEFAULT --------------------------------
     # batches shard over the mesh "data" axis (sized to the largest device
     # count dividing the batch); XLA inserts the gradient psum over ICI
     model = aoi.models.Segmentor("Unet", 1, nb_filters=4,
                                  layers=[1, 1, 1, 1])
-    model.fit(imgs, masks, training_cycles=10, batch_size=8,
-              print_loss=10, filename="/tmp/mc_seg")
+    model.fit(imgs, masks, training_cycles=CYCLES, batch_size=8,
+              print_loss=CYCLES, filename="/tmp/mc_seg")
     print("segmentor batch sharding:",
           model.Xb_train.sharding.spec,
           "over", len(model.Xb_train.sharding.device_set), "devices")
@@ -58,7 +63,7 @@ def main():
                            numhidden_encoder=32, numlayers_decoder=1,
                            numhidden_decoder=32)
     patches = np.random.RandomState(0).rand(64, 16, 16).astype(np.float32)
-    rvae.fit(patches, training_cycles=3, batch_size=16,
+    rvae.fit(patches, training_cycles=2 if SMOKE else 3, batch_size=16,
              filename="/tmp/mc_rvae")
     print("rVAE mesh:", dict(rvae.mesh.shape) if rvae.mesh else None)
 
@@ -66,8 +71,8 @@ def main():
     # (the reference trains members sequentially on one device)
     et = aoi.trainers.EnsembleTrainer("Unet", nb_classes=1, nb_filters=4,
                                       layers=[1, 1, 1, 1])
-    et.compile_ensemble_trainer(training_cycles=4, batch_size=4,
-                                filename="/tmp/mc_ens")
+    et.compile_ensemble_trainer(training_cycles=2 if SMOKE else 4,
+                                batch_size=4, filename="/tmp/mc_ens")
     et.train_ensemble_from_scratch(imgs, masks, n_models=4)
     leaf = jax.tree.leaves(et.params_stack)[0]
     print("ensemble member placement:",
@@ -78,7 +83,8 @@ def main():
     X = rng.randn(48, 8).astype(np.float32)
     y = rng.randn(8, 48).astype(np.float32)   # 8 outputs -> 8 GPs
     gp = aoi.models.dklGPR(8, embedim=2, shared_embedding_space=False)
-    gp.fit(X, y, training_cycles=3, print_loss=3)
+    gp.fit(X, y, training_cycles=2 if SMOKE else 3,
+           print_loss=3)
     print("DKL model mesh:",
           dict(gp.model_mesh.shape) if gp.model_mesh else None)
 

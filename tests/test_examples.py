@@ -19,7 +19,7 @@ EXAMPLES = os.path.join(ROOT, "examples")
 ALL = sorted(f for f in os.listdir(EXAMPLES) if f.endswith(".py"))
 
 
-def _run(name, smoke=True):
+def _example_env(smoke=True):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=ROOT + os.pathsep + os.environ.get(
                    "PYTHONPATH", ""))
@@ -52,6 +52,11 @@ def _run(name, smoke=True):
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(ROOT, ".cache", "xla",
                                 _host_fingerprint()))
+    return env
+
+
+def _run(name, smoke=True):
+    env = _example_env(smoke)
     r = subprocess.run([sys.executable, os.path.join(EXAMPLES, name)],
                        capture_output=True, text=True, timeout=900,
                        env=env, cwd="/tmp")
@@ -59,8 +64,45 @@ def _run(name, smoke=True):
         f"{name} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
 
 
-@pytest.mark.parametrize("name", ALL)
-def test_example_runs_smoke(name):
+# multichip_training.py needs its own interpreter (it sets XLA_FLAGS
+# before jax initializes); every other example shares one subprocess
+# via tests/_example_runner.py — same top-to-bottom execution, one
+# import cost instead of seven.
+STANDALONE = ["multichip_training.py"]
+SHARED = [n for n in ALL if n not in STANDALONE]
+
+import json  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def smoke_results():
+    env = _example_env(smoke=True)
+    runner = os.path.join(ROOT, "tests", "_example_runner.py")
+    r = subprocess.run([sys.executable, runner, EXAMPLES] + SHARED,
+                       capture_output=True, text=True, timeout=900,
+                       env=env, cwd="/tmp")
+    results = {}
+    for line in r.stdout.splitlines():
+        if line.startswith("AOI_EXAMPLE "):
+            rec = json.loads(line[len("AOI_EXAMPLE "):])
+            results[rec["name"]] = rec
+    # a hard crash (segfault) loses the trailing examples — surface it
+    results["__proc__"] = {"rc": r.returncode,
+                           "stderr": r.stderr[-1500:]}
+    return results
+
+
+@pytest.mark.parametrize("name", SHARED)
+def test_example_runs_smoke(name, smoke_results):
+    rec = smoke_results.get(name)
+    assert rec is not None, (
+        f"{name} never reported — runner died first: "
+        f"{smoke_results['__proc__']}")
+    assert rec["ok"], f"{name} failed:\n{rec['tail']}\n{rec['err']}"
+
+
+@pytest.mark.parametrize("name", STANDALONE)
+def test_example_runs_smoke_standalone(name):
     _run(name, smoke=True)
 
 
