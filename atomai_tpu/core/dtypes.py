@@ -86,16 +86,31 @@ def _host_fingerprint() -> str:
     fingerprint makes stale cross-host entries unreachable."""
     import hashlib
     import platform
-    feats = ""
+    feats = model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                low = line.lower()
+                # x86 lists CPU features under 'flags'; aarch64 under
+                # 'Features' — without the latter, ARM hosts with
+                # different vector extensions would share one cache dir
+                # (the exact SIGILL scenario this fingerprint prevents)
+                if not feats and low.startswith(("flags", "features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                # the model name too: LLVM tunes per CPU MODEL, not just
+                # per ISA flags (+prefer-no-scatter/+prefer-no-gather on
+                # some microarchitectures) — two hosts with identical
+                # flag sets still produced a machine-feature-mismatch
+                # AOT load warning (observed 2026-08-19)
+                elif not model and low.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
-        pass
-    key = f"{platform.machine()}|{feats}"
+        pass  # non-Linux: no /proc — fall back to the platform id alone
+    if not feats:
+        feats = platform.processor()
+    key = f"{platform.machine()}|{model}|{feats}"
     return hashlib.sha256(key.encode()).hexdigest()[:8]
 
 

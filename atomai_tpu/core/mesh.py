@@ -64,7 +64,8 @@ def _auto_mesh_enabled() -> bool:
     (tests/trainers/test_multidevice.py, the driver dryrun, and the
     multichip example), which re-enable the knob."""
     import os
-    return os.environ.get("AOI_AUTO_MESH", "1") != "0"
+    val = os.environ.get("AOI_AUTO_MESH", "1").strip().lower()
+    return val not in ("0", "false", "off", "no")
 
 
 def resolve_data_mesh(mesh=None, batch_size: Optional[int] = None

@@ -74,6 +74,78 @@ def block_until_ready(tree: Any) -> Any:
     return tree
 
 
+def tunnel_probe(payload_mb: float = 16.0, n_rtt: int = 10,
+                 n_bw: int = 3) -> Dict[str, float]:
+    """Measures the host<->device link 'weather' so timing artifacts are
+    interpretable across invocations.
+
+    On the tunneled single-TPU backend, dispatch/fetch latency and
+    device<->host bandwidth vary by factors of 2-4x between invocations
+    of IDENTICAL code (BENCH round-4 driver-vs-judge deltas) — any timed
+    section whose wall is dominated by transfers measures the tunnel as
+    much as the framework. Recording this probe next to the timings makes
+    tunnel weather separable from regression.
+
+    Returns ``{rtt_ms, d2h_mbps, h2d_mbps, payload_mb}`` — all medians:
+    - ``rtt_ms``: trivial jitted op dispatch + 1-element fetch, n_rtt
+      repeats (a pure round-trip; compute is one scalar add).
+    - ``d2h_mbps``: fetch of a ``payload_mb`` device buffer, n_bw repeats.
+    - ``h2d_mbps``: device_put of the same payload, synchronized by a
+      1-element fetch of the put result (puts are async; only a fetch
+      proves arrival), n_bw repeats, RTT-corrected.
+    """
+    import statistics
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_elem = int(payload_mb * 2**20 / 4)
+    payload_host = np.ones((n_elem,), np.float32)
+    payload_dev = jnp.ones((n_elem,), jnp.float32)
+
+    @jax.jit
+    def _tick(x):
+        return x + 1.0
+
+    x0 = jnp.zeros((), jnp.float32)
+    np.asarray(_tick(x0))  # compile + warm the path
+    rtts = []
+    for _ in range(n_rtt):
+        t0 = time.time()
+        np.asarray(_tick(x0))
+        rtts.append(time.time() - t0)
+    rtt = statistics.median(rtts)
+
+    # d2h must fetch a FRESH result every repeat: jax.Array caches the
+    # host value after the first fetch, so re-fetching one buffer times
+    # a dict lookup, not the wire (measured: 16 MB in 9 us). _tick
+    # returns a new 16 MB array per call; its compute is one elementwise
+    # add (microseconds) so the fetch wall is wire + RTT — exactly what
+    # a production output fetch pays.
+    np.asarray(_tick(payload_dev))  # compile for the payload shape
+    d2h = []
+    for _ in range(n_bw):
+        y = _tick(payload_dev)
+        t0 = time.time()
+        np.asarray(y)
+        d2h.append(max(time.time() - t0, 1e-9))
+
+    h2d = []
+    for _ in range(n_bw):
+        t0 = time.time()
+        put = jax.device_put(payload_host)
+        np.asarray(put[:1])
+        h2d.append(max(time.time() - t0 - rtt, 1e-9))
+
+    return {
+        "rtt_ms": round(rtt * 1e3, 2),
+        "d2h_mbps": round(payload_mb / statistics.median(d2h), 1),
+        "h2d_mbps": round(payload_mb / statistics.median(h2d), 1),
+        "payload_mb": payload_mb,
+    }
+
+
 def compiled_bytes_accessed(jitted_fn, *args) -> Optional[float]:
     """Post-fusion HBM traffic estimate of one call: XLA's own
     ``cost_analysis()['bytes accessed']`` over the OPTIMIZED HLO (after

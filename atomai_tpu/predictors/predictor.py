@@ -53,6 +53,20 @@ class BasePredictor:
         self.batch_stats = batch_stats
         self.verbose = kwargs.get("verbose", False)
         self._jit_forward = None
+        # Reduced-precision output fetch: on a tunneled TPU the
+        # device->host transfer of full-resolution maps can dominate
+        # predict wall time (config A ships 16.8 MB of f32 probability
+        # maps). 'float16'/'bfloat16' halve the wire cost; 'uint8'
+        # (SegPredictor only — probability semantics) quarters it. The
+        # public API still returns float32 (decoded on host); default
+        # None keeps exact f32 end to end.
+        self.fetch_dtype = kwargs.get("fetch_dtype")
+        if self.fetch_dtype is not None:
+            allowed = self._allowed_fetch_dtypes()
+            if self.fetch_dtype not in allowed:
+                raise ValueError(
+                    f"fetch_dtype must be one of {allowed}, got "
+                    f"{self.fetch_dtype!r}")
         # Sharded tiled inference (the domain's "context parallelism",
         # SURVEY.md §5): the frame/tile axis shards over the mesh data
         # axis so large stacks use every chip. mesh=None auto-builds a
@@ -86,6 +100,30 @@ class BasePredictor:
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec)), n
 
+    @staticmethod
+    def _allowed_fetch_dtypes():
+        # generic predictor outputs are arbitrary-scale: only the
+        # lossless-range float casts are safe (uint8 quantization needs
+        # [0, 1] probability semantics — SegPredictor widens this)
+        return (None, "float16", "bfloat16")
+
+    def _cast_fetch(self, y):
+        """Applied INSIDE the jitted forward: casts the output to the
+        wire dtype so the device->host transfer ships fewer bytes."""
+        if self.fetch_dtype is None:
+            return y
+        if self.fetch_dtype == "uint8":
+            return jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+        return y.astype(self.fetch_dtype)
+
+    def _decode_fetch(self, arr: np.ndarray) -> np.ndarray:
+        """Host-side inverse of :meth:`_cast_fetch` (back to float32)."""
+        if self.fetch_dtype is None:
+            return arr
+        if self.fetch_dtype == "uint8":
+            return arr.astype(np.float32) / 255.0
+        return arr.astype(np.float32)
+
     def preprocess(self, data):
         return jnp.asarray(np.asarray(data, np.float32))
 
@@ -97,10 +135,11 @@ class BasePredictor:
 
     def _make_forward(self):
         model = self.model
+        cast = self._cast_fetch
 
         @jax.jit
         def fwd(variables, x):
-            return model.apply(variables, x, False)
+            return cast(model.apply(variables, x, False))
         return fwd
 
     def forward_(self, xnew) -> jnp.ndarray:
@@ -118,12 +157,12 @@ class BasePredictor:
         # hash() probes the key NOW — building the tuple never hashes it,
         # so without the probe the TypeError would fire later inside the
         # cache lookup instead of hitting this fallback
-        key = (type(self).__name__, self.model)
+        key = (type(self).__name__, self.model, self.fetch_dtype)
         try:
             hash(key)
             return key
         except TypeError:  # unhashable custom module
-            return (type(self).__name__, id(self.model))
+            return (type(self).__name__, id(self.model), self.fetch_dtype)
 
     def batch_predict(self, data, out_shape: Tuple[int, ...],
                       num_batches: int) -> np.ndarray:
@@ -147,9 +186,10 @@ class BasePredictor:
         data_i = data[num_batches * batch_size:]
         if len(data_i) > 0:
             futures.append(self.forward_(data_i))
-        return np.concatenate(
+        out = np.concatenate(
             [np.asarray(f) for f in jax.device_get(futures)]
         ).reshape(out_shape)
+        return self._decode_fetch(out)
 
     def predict(self, data, out_shape=None, num_batches: int = 1
                 ) -> np.ndarray:
@@ -188,14 +228,22 @@ class SegPredictor(BasePredictor):
         self.thresh = kwargs.get("thresh", .5)
         self.verbose = kwargs.get("verbose", True)
 
+    @staticmethod
+    def _allowed_fetch_dtypes():
+        # segmentation outputs are probabilities in [0, 1]: the uint8
+        # x255 quantization (granularity 1/255, far below the 0.5
+        # locator threshold's sensitivity) is additionally safe here
+        return (None, "float16", "bfloat16", "uint8")
+
     def _cache_key(self):
-        key = ("SegPredictor", self.model, self.logits, self.nb_classes)
+        key = ("SegPredictor", self.model, self.logits, self.nb_classes,
+               self.fetch_dtype)
         try:
             hash(key)
             return key
         except TypeError:  # unhashable custom module
             return ("SegPredictor", id(self.model), self.logits,
-                    self.nb_classes)
+                    self.nb_classes, self.fetch_dtype)
 
     def preprocess(self, image_data: np.ndarray, norm: bool = True):
         """(N?, H, W) -> padded, normalized NHWC
@@ -220,6 +268,7 @@ class SegPredictor(BasePredictor):
         model = self.model
         logits = self.logits
         nb = self.nb_classes
+        cast = self._cast_fetch
 
         @jax.jit
         def fwd(variables, x):
@@ -229,7 +278,7 @@ class SegPredictor(BasePredictor):
                     else jax.nn.sigmoid(prob)
             else:
                 prob = jnp.exp(prob) if nb > 1 else prob
-            return prob
+            return cast(prob)
         return fwd
 
     def predict(self, image_data, return_image: bool = False, **kwargs):

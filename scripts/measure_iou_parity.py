@@ -8,13 +8,19 @@ IoU metric (`/root/reference/atomai/losses_metrics/metrics.py:16-95`)
 wired as SegTrainer accuracy
 (`/root/reference/atomai/trainers/trainer.py:731-737`).
 
-Protocol (round 4, 2026-08-18):
+Protocol v2 (round 5, 2026-08-19; v1 was single-seed round 4):
 - data: atomai_tpu.utils.make_lattice_stack(16, 128, spacing=16, seed=7)
   -> first 12 frames train, last 4 held out. Fully deterministic.
 - both frameworks: Segmentor("Unet", nb_classes=1) default width
   (nb_filters=16), 100 training cycles (1 cycle = 1 random minibatch,
   both frameworks' default epoch mode), batch 4, no augmentation, SWA
-  off, default Adam lr.
+  off, default Adam lr, trained once per model seed in SEEDS — the
+  reported number is the MEDIAN over seeds, the per-seed list is
+  recorded (same {n, median} discipline as the perf sections).
+- init mode is pinned and RECORDED: ours uses the torch-default weight
+  init (AOI_TORCH_INIT, default on — the measured trained-quality fix,
+  commit ef4f289); the artifact carries the resolved value so the
+  protocol's init dependence is explicit.
 - metric: ONE neutral numpy implementation of the reference's IoU
   semantics applied to both frameworks' predicted probability maps:
   sigmoid -> threshold 0.5 -> 2-class (bg/fg) confusion histogram ->
@@ -41,6 +47,15 @@ CYCLES = 100
 # batch 4: the held-out split is 4 frames and the reference's array2list
 # requires test_size >= batch_size (preproc.py:181 crashes otherwise)
 BATCH = 4
+# model-init seeds (v2): 3 independent trainings per framework; the
+# batch schedule also derives from the seed in both frameworks
+SEEDS = (1, 2, 3)
+
+
+def torch_init_mode() -> str:
+    """The resolved AOI_TORCH_INIT knob (nets/blocks.py) — recorded in
+    the artifact because the protocol's result depends on it."""
+    return os.environ.get("AOI_TORCH_INIT", "1")
 
 
 def mean_jaccard(prob_fg: np.ndarray, true: np.ndarray) -> float:
@@ -65,23 +80,32 @@ def make_data():
             imgs[N_TRAIN:], masks[N_TRAIN:])
 
 
-def measure_ours():
+def measure_ours(seeds=SEEDS):
+    """Trains ours once per seed on TPU; returns the v2 stats dict
+    {n, median, ious, seeds, torch_init}."""
     import atomai_tpu as aoi
     from atomai_tpu.core.dtypes import enable_compilation_cache
     enable_compilation_cache("/tmp/atomai_tpu_xla_cache")
     Xtr, ytr, Xts, yts = make_data()
-    m = aoi.models.Segmentor("Unet", nb_classes=1)
-    t0 = time.time()
-    m.fit(Xtr, ytr, Xts, yts, training_cycles=CYCLES, batch_size=BATCH,
-          print_loss=CYCLES, filename="/tmp/iou_parity_ours")
-    t_fit = time.time() - t0
-    prob = m.predict(Xts, compute_coords=False, verbose=False)
-    iou = mean_jaccard(prob[..., 0], yts)
-    print(f"OURS  (TPU):  held-out IoU = {iou:.4f}  (fit {t_fit:.1f}s)")
-    return iou
+    ious = []
+    for seed in seeds:
+        m = aoi.models.Segmentor("Unet", nb_classes=1, seed=seed)
+        t0 = time.time()
+        m.fit(Xtr, ytr, Xts, yts, training_cycles=CYCLES,
+              batch_size=BATCH, print_loss=CYCLES, seed=seed,
+              filename="/tmp/iou_parity_ours")
+        t_fit = time.time() - t0
+        prob = m.predict(Xts, compute_coords=False, verbose=False)
+        iou = mean_jaccard(prob[..., 0], yts)
+        print(f"OURS  (TPU) seed {seed}: held-out IoU = {iou:.4f}  "
+              f"(fit {t_fit:.1f}s)")
+        ious.append(round(iou, 4))
+    return {"n": len(ious), "median": round(float(np.median(ious)), 4),
+            "ious": ious, "seeds": list(seeds),
+            "torch_init": torch_init_mode()}
 
 
-def measure_ref():
+def measure_ref(seeds=SEEDS):
     shim = os.path.join(os.path.dirname(__file__), "..", "tests",
                         "_refshim")
     sys.path.insert(0, shim)
@@ -90,30 +114,39 @@ def measure_ref():
     torch.set_num_threads(max(os.cpu_count() - 1, 1))
     from atomai.models import Segmentor  # noqa: reference package
     Xtr, ytr, Xts, yts = make_data()
-    m = Segmentor("Unet", nb_classes=1)
-    t0 = time.time()
-    m.fit(Xtr, ytr, Xts, yts, training_cycles=CYCLES, batch_size=BATCH,
-          print_loss=CYCLES, filename="/tmp/iou_parity_ref")
-    t_fit = time.time() - t0
-    out = m.predict(Xts, compute_coords=False)
-    prob = np.asarray(out[0] if isinstance(out, tuple) else out)
-    if prob.ndim == 4:
-        prob = prob[..., 0] if prob.shape[-1] == 1 else prob[:, 0]
-    iou = mean_jaccard(prob, yts)
-    print(f"REF (torch-CPU): held-out IoU = {iou:.4f}  (fit {t_fit:.1f}s)")
+    ious, fit_ss = [], []
+    for seed in seeds:
+        m = Segmentor("Unet", nb_classes=1)
+        t0 = time.time()
+        m.fit(Xtr, ytr, Xts, yts, training_cycles=CYCLES,
+              batch_size=BATCH, print_loss=CYCLES, seed=seed,
+              filename="/tmp/iou_parity_ref")
+        t_fit = time.time() - t0
+        out = m.predict(Xts, compute_coords=False)
+        prob = np.asarray(out[0] if isinstance(out, tuple) else out)
+        if prob.ndim == 4:
+            prob = prob[..., 0] if prob.shape[-1] == 1 else prob[:, 0]
+        iou = mean_jaccard(prob, yts)
+        print(f"REF (torch-CPU) seed {seed}: held-out IoU = {iou:.4f}  "
+              f"(fit {t_fit:.1f}s)")
+        ious.append(round(iou, 4))
+        fit_ss.append(round(t_fit, 1))
     import json
-    rec = {"iou_ref": round(iou, 4), "fit_s": round(t_fit, 1),
-           "protocol": (f"{N_IMG}x{SIZE}^2 stack seed {SEED}, "
-                        f"{N_TRAIN} train / {N_IMG - N_TRAIN} held-out, "
-                        f"Unet nb_classes=1, {CYCLES} cycles, batch "
-                        f"{BATCH}, no augmentation; torch CPU via "
+    rec = {"iou_ref": round(float(np.median(ious)), 4),
+           "n": len(ious), "ious": ious, "seeds": list(seeds),
+           "fit_s": fit_ss,
+           "protocol": (f"v2 (round 5): {N_IMG}x{SIZE}^2 stack seed "
+                        f"{SEED}, {N_TRAIN} train / {N_IMG - N_TRAIN} "
+                        f"held-out, Unet nb_classes=1, {CYCLES} cycles, "
+                        f"batch {BATCH}, no augmentation, median over "
+                        f"model seeds {list(seeds)}; torch CPU via "
                         "tests/_refshim")}
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "iou_parity_ref.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print("wrote", out)
-    return iou
+    return rec
 
 
 if __name__ == "__main__":

@@ -29,6 +29,10 @@ def main():
     for name in names:
         buf = io.StringIO()
         ok, err = True, ""
+        # scripts share one interpreter: restore the env/cwd a script
+        # mutates so a later script's pass/fail reproduces standalone
+        env_snapshot = dict(os.environ)
+        cwd_snapshot = os.getcwd()
         try:
             with redirect_stdout(buf), redirect_stderr(buf):
                 runpy.run_path(os.path.join(examples_dir, name),
@@ -36,9 +40,15 @@ def main():
         except SystemExit as e:  # explicit sys.exit(0) counts as success
             ok = e.code in (0, None)
             err = "" if ok else f"SystemExit({e.code})"
-        except BaseException:
+        except (KeyboardInterrupt, MemoryError):
+            raise  # never swallow interrupts / OOM and keep running
+        except Exception:
             ok = False
             err = traceback.format_exc()[-2000:]
+        finally:
+            os.environ.clear()
+            os.environ.update(env_snapshot)
+            os.chdir(cwd_snapshot)
         n_fail += not ok
         out = buf.getvalue()
         rec = {"name": name, "ok": ok,

@@ -78,8 +78,12 @@ import json  # noqa: E402
 def smoke_results():
     env = _example_env(smoke=True)
     runner = os.path.join(ROOT, "tests", "_example_runner.py")
+    # budget scales with the sweep size (one shared process runs them
+    # all; a single 900 s cap would starve the sweep after a cold-cache
+    # compile round)
     r = subprocess.run([sys.executable, runner, EXAMPLES] + SHARED,
-                       capture_output=True, text=True, timeout=900,
+                       capture_output=True, text=True,
+                       timeout=300 * max(len(SHARED), 1),
                        env=env, cwd="/tmp")
     results = {}
     for line in r.stdout.splitlines():

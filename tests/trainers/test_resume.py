@@ -44,3 +44,16 @@ def test_resume_requires_optimizer_state(tmp_path):
 def test_device_memory_stats():
     stats = device_memory_stats()
     assert len(stats) >= 1
+
+
+def test_tunnel_probe_keys_and_sanity():
+    """The bench 'tunnel weather' probe (core/profiling.py): keys exist,
+    all positive, bandwidths finite — on the virtual CPU backend the
+    'wire' is host memcpy, so values are large but the contract holds."""
+    from atomai_tpu.core.profiling import tunnel_probe
+    p = tunnel_probe(payload_mb=1.0, n_rtt=3, n_bw=2)
+    assert set(p) == {"rtt_ms", "d2h_mbps", "h2d_mbps", "payload_mb"}
+    assert p["rtt_ms"] >= 0
+    assert p["d2h_mbps"] > 0 and np.isfinite(p["d2h_mbps"])
+    assert p["h2d_mbps"] > 0 and np.isfinite(p["h2d_mbps"])
+    assert p["payload_mb"] == 1.0

@@ -196,9 +196,17 @@ class TestEngineParity:
         # loop and scan are DIFFERENT compiled programs: XLA fuses their
         # bodies differently, so single-device f32 trajectories drift by
         # O(1e-6)/cycle rounding noise (an engine bug shows as O(1e-2)+
-        # or shape divergence). rtol must absorb 4 cycles of that.
+        # or shape divergence). Measured relative drift (2026-08-19,
+        # virtual CPU, 4 cycles x 2 members): [0, 0, 4.6e-6, 2.0e-5] —
+        # cycle 0 bitwise-equal, last cycle 2.0e-5; rtol 1e-4 gives
+        # ~5x headroom over the measured worst case.
         np.testing.assert_allclose(losses[0], losses[1],
                                    rtol=1e-4, atol=1e-6)
+        # cycle 0 has accumulated no drift: both engines start from the
+        # identical state, so the first loss must match far tighter —
+        # this keeps the loose rtol from masking a real engine change
+        np.testing.assert_allclose(losses[0][0], losses[1][0],
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_full_epoch_bytes_accounting():
