@@ -33,7 +33,7 @@ class jrVAE(BaseVAE):
                  **kwargs) -> None:
         coord = 3 if translation else 1
         super().__init__(in_dim, latent_dim, nb_classes, coord,
-                         discrete_dim, **kwargs)
+                         discrete_dim, seed=seed, **kwargs)
         self.translation = translation
         self.dx_prior = None
         self.kdict_ = dc(kwargs)

@@ -29,7 +29,7 @@ class jVAE(BaseVAE):
                  discrete_dim: List[int] = [2], nb_classes: int = 0,
                  seed: int = 0, **kwargs) -> None:
         super().__init__(in_dim, latent_dim, nb_classes, 0, discrete_dim,
-                         **kwargs)
+                         seed=seed, **kwargs)
         self.kdict_ = dc(kwargs)
 
     def elbo_fn(self, x, x_reconstr, *args, **kwargs):

@@ -34,7 +34,8 @@ class rVAE(BaseVAE):
                  nb_classes: int = 0, translation: bool = True,
                  seed: int = 0, **kwargs) -> None:
         coord = 3 if translation else 1
-        super().__init__(in_dim, latent_dim, nb_classes, coord, **kwargs)
+        super().__init__(in_dim, latent_dim, nb_classes, coord,
+                         seed=seed, **kwargs)
         self.translation = translation
         self.dx_prior = None
         self.kdict_ = dc(kwargs)

@@ -472,7 +472,8 @@ class VAE(BaseVAE):
 
     def __init__(self, in_dim: Tuple[int, ...] = None, latent_dim: int = 2,
                  nb_classes: int = 0, seed: int = 0, **kwargs) -> None:
-        super().__init__(in_dim, latent_dim, nb_classes, 0, **kwargs)
+        super().__init__(in_dim, latent_dim, nb_classes, 0, seed=seed,
+                         **kwargs)
         self.kdict_ = dc(kwargs)
 
     def elbo_fn(self, x, x_reconstr, *args, **kwargs):

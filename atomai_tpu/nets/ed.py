@@ -148,11 +148,15 @@ class fcEncoderNet(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.reshape(x.shape[0], -1)
         # hidden layers in the policy compute dtype (bf16 on TPU; heads
-        # stay f32 so z_mu/z_logstd keep full precision)
+        # stay f32 so z_mu/z_logstd keep full precision). Dense layers
+        # draw from the torch-default init distribution the reference
+        # VAEs actually train from (see blocks.init_kwargs).
         for _ in range(self.num_layers):
-            x = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype())(x))
-        z_mu = nn.Dense(self.latent_dim)(x)
-        z_logstd = nn.Dense(self.latent_dim)(x)
+            x = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype(),
+                                  **init_kwargs(x.shape[-1]))(x))
+        z_mu = nn.Dense(self.latent_dim, **init_kwargs(x.shape[-1]))(x)
+        z_logstd = nn.Dense(self.latent_dim,
+                            **init_kwargs(x.shape[-1]))(x)
         if self.softplus_out:
             z_logstd = jax.nn.softplus(z_logstd)
         return z_mu, z_logstd
@@ -174,8 +178,9 @@ class convEncoderNet(nn.Module):
         x = ConvBlock(ndim, self.num_layers, self.hidden_dim,
                       lrelu_a=self.lrelu_a)(x, train)
         x = x.reshape(x.shape[0], -1)
-        z_mu = nn.Dense(self.latent_dim)(x)
-        z_logstd = nn.Dense(self.latent_dim)(x)
+        z_mu = nn.Dense(self.latent_dim, **init_kwargs(x.shape[-1]))(x)
+        z_logstd = nn.Dense(self.latent_dim,
+                            **init_kwargs(x.shape[-1]))(x)
         if self.softplus_out:
             z_logstd = jax.nn.softplus(z_logstd)
         return z_mu, z_logstd
@@ -197,14 +202,17 @@ class jfcEncoderNet(nn.Module):
         # hidden layers in the policy compute dtype (bf16 on TPU; heads
         # stay f32 so z_mu/z_logstd keep full precision)
         for _ in range(self.num_layers):
-            x = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype())(x))
-        z_mu = nn.Dense(self.latent_dim)(x)
-        z_logstd = nn.Dense(self.latent_dim)(x)
+            x = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype(),
+                                  **init_kwargs(x.shape[-1]))(x))
+        z_mu = nn.Dense(self.latent_dim, **init_kwargs(x.shape[-1]))(x)
+        z_logstd = nn.Dense(self.latent_dim,
+                            **init_kwargs(x.shape[-1]))(x)
         if self.softplus_out:
             z_logstd = jax.nn.softplus(z_logstd)
         encoded = [z_mu, z_logstd]
         for disc in self.discrete_dim:
-            encoded.append(jax.nn.softmax(nn.Dense(disc)(x), axis=1))
+            encoded.append(jax.nn.softmax(
+                nn.Dense(disc, **init_kwargs(x.shape[-1]))(x), axis=1))
         return encoded
 
 
@@ -225,13 +233,15 @@ class jconvEncoderNet(nn.Module):
         x = ConvBlock(ndim, self.num_layers, self.hidden_dim,
                       lrelu_a=self.lrelu_a)(x, train)
         x = x.reshape(x.shape[0], -1)
-        z_mu = nn.Dense(self.latent_dim)(x)
-        z_logstd = nn.Dense(self.latent_dim)(x)
+        z_mu = nn.Dense(self.latent_dim, **init_kwargs(x.shape[-1]))(x)
+        z_logstd = nn.Dense(self.latent_dim,
+                            **init_kwargs(x.shape[-1]))(x)
         if self.softplus_out:
             z_logstd = jax.nn.softplus(z_logstd)
         encoded = [z_mu, z_logstd]
         for disc in self.discrete_dim:
-            encoded.append(jax.nn.softmax(nn.Dense(disc)(x), axis=1))
+            encoded.append(jax.nn.softmax(
+                nn.Dense(disc, **init_kwargs(x.shape[-1]))(x), axis=1))
         return encoded
 
 
@@ -257,8 +267,10 @@ class fcDecoderNet(nn.Module):
         # hidden layers in the compute dtype; the reconstruction head
         # stays f32 (it feeds the sum-reduced ELBO)
         for _ in range(self.num_layers):
-            h = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype())(h))
-        h = nn.Dense(int(np.prod(self.out_dim)))(h)
+            h = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype(),
+                                  **init_kwargs(h.shape[-1]))(h))
+        h = nn.Dense(int(np.prod(self.out_dim)),
+                     **init_kwargs(h.shape[-1]))(h)
         h = h.reshape((-1,) + tuple(self.out_dim[:2]) + (c,)) \
             if len(self.out_dim) > 1 else h.reshape((-1, self.out_dim[0], c))
         return _squeeze_or_chanlast(h, self.out_dim)
@@ -279,7 +291,8 @@ class convDecoderNet(nn.Module):
         spatial = tuple(self.out_dim[:2]) if ndim == 2 \
             else (self.out_dim[0],)
         h = nn.Dense(self.hidden_dim * int(np.prod(spatial)),
-                     use_bias=False, dtype=_cdtype())(z)
+                     use_bias=False, dtype=_cdtype(),
+                     **init_kwargs(z.shape[-1]))(z)
         h = h.reshape((-1,) + spatial + (self.hidden_dim,))
         h = ConvBlock(ndim, self.num_layers, self.hidden_dim,
                       lrelu_a=self.lrelu_a)(h, train)
@@ -299,8 +312,10 @@ class coord_latent(nn.Module):
 
     @nn.compact
     def __call__(self, x_coord, z, return_params: bool = False):
-        d_x = nn.Dense(self.out_dim, dtype=_cdtype())
-        d_z = nn.Dense(self.out_dim, use_bias=False, dtype=_cdtype())
+        d_x = nn.Dense(self.out_dim, dtype=_cdtype(),
+                       **init_kwargs(x_coord.shape[-1]))
+        d_z = nn.Dense(self.out_dim, use_bias=False, dtype=_cdtype(),
+                       **init_kwargs(z.shape[-1]))
         if return_params:
             # instantiate params on zero-row inputs and hand the raw
             # arrays to the fused Pallas path (same names/structure as
@@ -349,11 +364,12 @@ class rDecoderNet(nn.Module):
             Wc, bc, Wz = cl(x_coord, z, return_params=True)
             Ws, bs = [], []
             for _ in range(self.num_layers):
-                d = nn.Dense(self.hidden_dim, dtype=_cdtype())
+                d = nn.Dense(self.hidden_dim, dtype=_cdtype(),
+                             **init_kwargs(self.hidden_dim))
                 _ = d(jnp.zeros((0, self.hidden_dim)))
                 Ws.append(d.variables["params"]["kernel"])
                 bs.append(d.variables["params"]["bias"])
-            d_out = nn.Dense(c)
+            d_out = nn.Dense(c, **init_kwargs(self.hidden_dim))
             _ = d_out(jnp.zeros((0, self.hidden_dim)))
             Wo = d_out.variables["params"]["kernel"]
             bo = d_out.variables["params"]["bias"]
@@ -378,8 +394,8 @@ class rDecoderNet(nn.Module):
             # (`ed.py:626-630`), i.e. once per layer.
             residual = h
             for _ in range(self.num_layers):
-                h = jnp.tanh(nn.Dense(self.hidden_dim,
-                                      dtype=_cdtype())(h))
+                h = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype(),
+                                      **init_kwargs(h.shape[-1]))(h))
                 h = h + residual
         else:
             # per-pixel MLP in the compute dtype — the measured hot op of
@@ -387,9 +403,9 @@ class rDecoderNet(nn.Module):
             # scripts/rvae_roofline_experiment.py); the output head stays
             # f32 for the ELBO
             for _ in range(self.num_layers):
-                h = jnp.tanh(nn.Dense(self.hidden_dim,
-                                      dtype=_cdtype())(h))
-        h = nn.Dense(c)(h)
+                h = jnp.tanh(nn.Dense(self.hidden_dim, dtype=_cdtype(),
+                                      **init_kwargs(h.shape[-1]))(h))
+        h = nn.Dense(c, **init_kwargs(h.shape[-1]))(h)
         return h.reshape((batch_dim,) + reshape_)
 
 

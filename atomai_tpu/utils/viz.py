@@ -175,9 +175,12 @@ def visualize_unmixing_results(components: np.ndarray, abundances: np.ndarray,
                                savefig: Optional[str] = None) -> None:
     """Spectral-unmixing component/abundance panels (:304-363)."""
     plt = _plt()
-    n = components.shape[0] if components.ndim > 1 else 1
+    components = np.atleast_2d(components)
+    n = components.shape[0]
     fig, axes = plt.subplots(2, n, figsize=(figsize * n, 2 * figsize))
-    axes = np.atleast_2d(axes)
+    # n=1 gives a shape-(2,) axes vector; atleast_2d would orient it
+    # (1, 2) and break the [1, i] indexing below
+    axes = np.asarray(axes).reshape(2, n)
     for i in range(n):
         axes[0, i].plot(components[i])
         axes[0, i].set_title(f"Component {i + 1}")

@@ -1,17 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark driver — prints ONE JSON line.
+"""Benchmark driver — prints TWO JSON lines: a full detail line first,
+then a compact HEADLINE line LAST (the artifact keeps the tail of
+stdout, so the line that must survive truncation goes last; round-4's
+detail growth pushed the primary metric out of BENCH_r04.json).
 
 Primary metric (BASELINE.json): Segmentor 512^2-equivalent images/sec for
 train+predict on config A — Segmentor UNet nb_classes=1, 300-cycle fit +
 predict on a 64 x 256 x 256 synthetic graphene lattice stack.
 
-Measurement discipline (round 4):
-- every timed section is repeated REPEATS times; the reported number is
-  the MEDIAN and the artifact records {n, median, spread} per config
-  (spread = (max - min) / median), so regressions and run-to-run noise
-  are distinguishable.
+Measurement discipline (rounds 4-5):
+- every timed section is repeated REPEATS times (REPEATS_FAST for the
+  sub-second sections, whose medians are fragile at n=3); the reported
+  number is the MEDIAN and the artifact records {n, median, spread} per
+  config (spread = (max - min) / median), so regressions and run-to-run
+  noise are distinguishable.
 - every warmup is the EXACT timed call (same shapes, same code path), so
   no compile can land inside a timed region.
+- tunnel weather is PROBED and recorded (dispatch RTT + d2h/h2d
+  bandwidth at bench start and end): driver-vs-judge reruns of identical
+  round-4 code differed up to 2.4x on transfer-bound small-model
+  entries; the probe makes that separable from real regressions.
 - the resolved compute dtype and backend are recorded, so the precision
   policy's activation is visible in the artifact.
 - timings end with a value fetch (np.asarray / jax.device_get): through
@@ -30,6 +38,9 @@ import time
 import numpy as np
 
 REPEATS = 3
+REPEATS_FAST = 5  # sub-second sections: n=3 medians are one outlier
+# away from wrong (round-4 in-run spreads up to 0.23); each extra rep
+# costs ~1 s
 
 CYCLES = 300
 BATCH = 32
@@ -141,6 +152,9 @@ def main():
         "param_dtype": jnp.dtype(policy.param_dtype).name,
     }
 
+    from atomai_tpu.core.profiling import tunnel_probe
+    probe_start = tunnel_probe()
+
     imgs, masks, _ = aoi.utils.make_lattice_stack(
         n_images=N_IMG, size=SIZE, spacing=16, seed=0)
 
@@ -170,20 +184,57 @@ def main():
         assert out.shape == (N_IMG, SIZE, SIZE, 1)
 
     predict_once()
-    pred_stat = repeat_timed(predict_once)
+    pred_stat = repeat_timed(predict_once, n=REPEATS_FAST)
     t_pred = pred_stat["median"]
 
-    # per-phase split (diagnosed once, fetch-forced): preprocess+norm vs
-    # forward+fetch
+    # per-phase split, measured the same way as the timed call (warmed,
+    # repeated, fetch-forced — round-4's single-shot cold split summed to
+    # more than the total it was meant to explain). Phases 1-2 fetch one
+    # element (production keeps the stack on device between them); phase
+    # 3 is the full 16.8 MB output wire alone.
     from atomai_tpu.predictors import SegPredictor
     pp = SegPredictor(m.net, m.params, m.batch_stats, nb_classes=1,
                       verbose=False)
-    t0 = time.time()
-    xp = np.asarray(pp.preprocess(imgs))
-    t_phase_pre = time.time() - t0
-    t0 = time.time()
-    _ = pp.batch_predict(jnp.asarray(xp), (N_IMG, SIZE, SIZE, 1), 2)
-    t_phase_fwd = time.time() - t0
+
+    def phase_pre():
+        x = pp.preprocess(imgs)
+        np.asarray(x[:1, :1, :1, 0])
+
+    phase_pre()
+    pre_stat = repeat_timed(phase_pre, n=REPEATS_FAST)
+    xdev = pp.preprocess(imgs)
+    half = N_IMG // 2
+
+    def phase_fwd():
+        # forward + 1-element fetch: dispatch + compute, no output wire
+        f1 = pp.forward_(xdev[:half])
+        f2 = pp.forward_(xdev[half:])
+        np.asarray(f1[:1, :1, :1, 0])
+        np.asarray(f2[:1, :1, :1, 0])
+
+    phase_fwd()
+    fwd_stat = repeat_timed(phase_fwd, n=REPEATS_FAST)
+
+    def phase_full():
+        # forward + FULL output fetch — what production predict pays.
+        # Fresh result buffers every repeat: jax.Array caches the host
+        # value after the first fetch, so re-fetching one buffer would
+        # time a dict lookup (16 MB in ~9 us), not the wire.
+        got = jax.device_get([pp.forward_(xdev[:half]),
+                              pp.forward_(xdev[half:])])
+        assert got[0].shape[0] == half
+
+    phase_full()
+    full_stat = repeat_timed(phase_full, n=REPEATS_FAST)
+    # incremental cost of the 16.8 MB output wire alone
+    fetch_stat = {"median": round(
+        max(full_stat["median"] - fwd_stat["median"], 0.0), 4)}
+    # wire-speed accounting: what the probe says the transfers alone cost
+    mb_in = imgs.nbytes / 2**20
+    mb_out = N_IMG * SIZE * SIZE * 4 / 2**20
+    wire_s = (mb_in / probe_start["h2d_mbps"]
+              + mb_out / probe_start["d2h_mbps"]
+              + 4 * probe_start["rtt_ms"] / 1e3)
 
     # --- config C: rVAE ELBO steps/sec (32x32 patches) -----------------
     # Times the PRODUCTION fit-loop body at steady state: lazy epoch
@@ -217,7 +268,7 @@ def main():
 
     rvae_loop = vae_loop(rvae)
     rvae_loop()  # warm (exact timed call)
-    rvae_stat = repeat_timed(rvae_loop)
+    rvae_stat = repeat_timed(rvae_loop, n=REPEATS_FAST)
     rvae_steps_per_sec = N_EPOCHS * n_steps_per_epoch / rvae_stat["median"]
     rvae_epoch_bytes = rvae.epoch_bytes_accessed()
     rvae_hbm_gbps = (rvae_epoch_bytes * N_EPOCHS / rvae_stat["median"]
@@ -247,7 +298,7 @@ def main():
         mb._reset_training_history()
         mb.run()
 
-    imspec_stat = repeat_timed(imspec_once)
+    imspec_stat = repeat_timed(imspec_once, n=REPEATS_FAST)
     imspec_cps = CYC_B / imspec_stat["median"]
     imspec_vs = imspec_cps * REF_IMSPEC_SEC_PER_CYCLE
 
@@ -301,7 +352,7 @@ def main():
         out64 = loc.run(prob64)
         assert sum(len(v) for v in out64.values()) == n_atoms_64
 
-    loc_stat = repeat_timed(loc_once)
+    loc_stat = repeat_timed(loc_once, n=REPEATS_FAST)
 
     # --- config E: dklGPR, exact covariance + Cholesky on 10k x 64 ----
     Xg = rng.randn(10000, 64).astype(np.float32)
@@ -334,7 +385,7 @@ def main():
            filename="/tmp/bench_jvae")
     jv_loop = vae_loop(jv)
     jv_loop()
-    jv_stat = repeat_timed(jv_loop)
+    jv_stat = repeat_timed(jv_loop, n=REPEATS_FAST)
     jvae_sps = N_EPOCHS * n_steps_per_epoch / jv_stat["median"]
 
     jrv = aoi.models.jrVAE((32, 32), latent_dim=2, discrete_dim=[4])
@@ -342,7 +393,7 @@ def main():
             filename="/tmp/bench_jrvae")
     jrv_loop = vae_loop(jrv)
     jrv_loop()
-    jrv_stat = repeat_timed(jrv_loop)
+    jrv_stat = repeat_timed(jrv_loop, n=REPEATS_FAST)
     jrvae_sps = N_EPOCHS * n_steps_per_epoch / jrv_stat["median"]
 
     Xd = rng.rand(256, 64, 64).astype(np.float32)
@@ -356,18 +407,41 @@ def main():
         den._reset_training_history()
         den.run()
 
-    den_stat = repeat_timed(den_once)
+    den_stat = repeat_timed(den_once, n=REPEATS_FAST)
     den_cps = CYC_DEN / den_stat["median"]
 
-    # --- trained-quality parity: held-out mask IoU ---------------------
+    # --- trained-quality parity: held-out mask IoU (v2: multi-seed) ----
     import importlib.util
-    _spec = importlib.util.spec_from_file_location(
-        "measure_iou_parity",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "scripts", "measure_iou_parity.py"))
-    iou_mod = importlib.util.module_from_spec(_spec)
-    _spec.loader.exec_module(iou_mod)
-    iou_ours = iou_mod.measure_ours()
+
+    def _load_script(name):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "scripts", f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    iou_mod = _load_script("measure_iou_parity")
+    iou_stats = iou_mod.measure_ours()  # {n, median, ious, torch_init}
+    iou_ours = iou_stats["median"]
+
+    # --- trained-quality parity: rVAE held-out ELBO + angle latent -----
+    # the second primary metric's quality gate (round-5): ours trained
+    # live on TPU; reference pinned offline (torch CPU, same data).
+    rvae_q_ours = rvae_q_ref = None
+    try:  # quality gate must not kill the perf bench
+        rvae_mod = _load_script("measure_rvae_parity")
+        rvae_q_ours = rvae_mod.measure_ours()
+    except Exception as e:
+        rvae_q_ours = {"error": repr(e)[:200]}
+    try:  # a missing/broken ref pin must not discard the ours number
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts",
+                "rvae_parity_ref.json")) as f:
+            rvae_q_ref = {k: v for k, v in json.load(f).items()
+                          if k != "protocol"}
+    except Exception as e:
+        rvae_q_ref = {"error": repr(e)[:200]}
 
     train_imgs_eq = CYCLES * BATCH * EQ
     pred_imgs_eq = N_IMG * EQ
@@ -377,6 +451,8 @@ def main():
     ref_pred = N_IMG * REF_SEC_PER_PRED_IMG
     ref = (train_imgs_eq + pred_imgs_eq) / (ref_train + ref_pred)
 
+    probe_end = tunnel_probe()
+
     print(json.dumps({
         "metric": "segmentor_512eq_images_per_sec_train_predict",
         "value": round(ours, 3),
@@ -384,8 +460,17 @@ def main():
         "vs_baseline": round(ours / ref, 2),
         "detail": {
             "dtype": dtype_info,
+            "tunnel_probe_start": probe_start,
+            "tunnel_probe_end": probe_end,
+            "tunnel_note": (
+                "dispatch RTT + device<->host bandwidth, medians "
+                "(core/profiling.tunnel_probe). Transfer-bound entries "
+                "(predict, rVAE/jVAE/jrVAE loops, denoiser, imspec) "
+                "scale with this weather — compare rounds at comparable "
+                "probes (BASELINE.md interpretation rule)"),
             "repeat_protocol": (
-                f"every timed section: median of {REPEATS} runs after an "
+                f"every timed section: median of {REPEATS} runs "
+                f"({REPEATS_FAST} for sub-second sections) after an "
                 "exact-call warmup; spread = (max-min)/median; stats key "
                 "per config = {n, median, spread, times}"),
             "train_s": t_train,
@@ -393,8 +478,23 @@ def main():
             "predict_s": t_pred,
             "predict_stats": pred_stat,
             "predict_phase_split_s": {
-                "preprocess_norm": round(t_phase_pre, 3),
-                "forward_fetch": round(t_phase_fwd, 3)},
+                "preprocess_upload_norm": pre_stat["median"],
+                "preprocess_stats": pre_stat,
+                "forward_1elem_fetch": fwd_stat["median"],
+                "forward_stats": fwd_stat,
+                "forward_full_fetch": full_stat["median"],
+                "forward_full_fetch_stats": full_stat,
+                "output_wire_16p8mb": fetch_stat["median"],
+                "wire_accounting_s": round(wire_s, 3),
+                "note": (
+                    "phases measured like the timed call (warmed, "
+                    f"median of {REPEATS_FAST}, fetch-forced, fresh "
+                    "result buffers per repeat); output_wire = "
+                    "forward_full_fetch - forward_1elem_fetch; "
+                    "wire_accounting = probe-implied transfer floor "
+                    f"({mb_in:.1f} MB up + {mb_out:.1f} MB down + 4 "
+                    "RTTs). fetch_dtype='uint8' quarters the down "
+                    "wire (opt-in, tests/predictors/test_fetch_dtype)")},
             "config": f"Unet nb_classes=1, {CYCLES} cycles, batch "
                       f"{BATCH}, {N_IMG}x{SIZE}x{SIZE} stack",
             "reference_images_per_sec": round(ref, 3),
@@ -470,15 +570,64 @@ def main():
                 "(32^2 patches, batch 128, 4-way discrete latent); "
                 "denoiser: 200-cycle scan rerun, 64^2 x batch 32"),
             "iou_ours": round(iou_ours, 4),
+            "iou_ours_stats": iou_stats,
             "iou_ref": REF_IOU_HELDOUT,
             "iou_note": (
                 "held-out mask IoU, scripts/measure_iou_parity.py "
-                "protocol (16x128^2 stack seed 7, 12 train / 4 test, "
-                "Unet, 100 cycles, batch 4, no augmentation; one "
+                "protocol v2 (16x128^2 stack seed 7, 12 train / 4 test, "
+                "Unet, 100 cycles, batch 4, no augmentation, median "
+                "over 3 model seeds, AOI_TORCH_INIT recorded; one "
                 "neutral numpy IoU for both frameworks). iou_ours "
                 "trained live on TPU this run; iou_ref measured on "
                 "torch CPU via the reference package + import shims"),
+            "rvae_quality_ours": rvae_q_ours,
+            "rvae_quality_ref": rvae_q_ref,
+            "rvae_quality_note": (
+                "scripts/measure_rvae_parity.py: held-out ELBO "
+                "(framework-reported, mean of last 3 epochs) + |Pearson "
+                "r| of the learned angle latent vs true rotation on "
+                "held-out asymmetric-dumbbell patches; median over 3 "
+                "model seeds on BOTH arms; ours trained live on TPU "
+                "this run, ref pinned on torch CPU "
+                "(scripts/rvae_parity_ref.json)"),
         },
+    }))
+
+    # compact HEADLINE line LAST: the driver's artifact keeps the TAIL
+    # of stdout, so this line is the one that must carry the primary
+    # metric + the keys a reader needs to interpret it (VERDICT r4 #1)
+    print(json.dumps({
+        "metric": "segmentor_512eq_images_per_sec_train_predict",
+        "value": round(ours, 3),
+        "unit": "images/s",
+        "vs_baseline": round(ours / ref, 2),
+        "train_s": t_train,
+        "predict_s": t_pred,
+        "rvae_steps_per_sec": round(rvae_steps_per_sec, 2),
+        "rvae_vs_baseline": round(
+            rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
+        "iou_ours": round(iou_ours, 4),
+        "iou_ref": REF_IOU_HELDOUT,
+        # medians only — the per-seed lists live in the detail line and
+        # would bloat the tail-surviving headline
+        "rvae_quality_ours": {
+            k: rvae_q_ours.get(k) for k in
+            ("elbo_heldout", "angle_corr", "error")
+            if rvae_q_ours.get(k) is not None},
+        "rvae_quality_ref": {
+            k: rvae_q_ref.get(k) for k in
+            ("elbo_heldout", "angle_corr", "error")
+            if rvae_q_ref.get(k) is not None},
+        "imspec_vs": round(imspec_vs, 1),
+        "ensemble_vs": round(ens_vs, 1),
+        "dklgpr_vs": round(REF_DKLGP_SEC_PER_CYCLE / t_gp_cycle, 1),
+        "jvae_sps": round(jvae_sps, 2),
+        "jrvae_sps": round(jrvae_sps, 2),
+        "denoiser_cps": round(den_cps, 2),
+        "locator_64x512_s": loc_stat["median"],
+        "dtype": dtype_info,
+        "tunnel_probe": probe_start,
+        "tunnel_probe_end": probe_end,
     }))
 
 

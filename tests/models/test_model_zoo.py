@@ -103,6 +103,32 @@ def test_denoiser(tmp_path):
     assert out.shape == (2, 16, 16)
 
 
+def test_denoise_images_convenience(tmp_path):
+    """One-call train+predict wrapper (reference
+    `atomai/models/denoiser.py:238-270`): returns the trained model and
+    predictions on the test stack."""
+    from atomai_tpu.models.denoiser import denoise_images
+    rng = np.random.RandomState(5)
+    clean = rng.rand(32, 16, 16).astype(np.float32)
+    noisy = clean + 0.1 * rng.randn(32, 16, 16).astype(np.float32)
+    model, preds = denoise_images(
+        noisy[:24], clean[:24], noisy[24:], clean[24:],
+        training_cycles=3, batch_size=8, print_loss=3,
+        encoder_filters=[4, 8], decoder_filters=[8, 4],
+        encoder_layers=[1, 1], decoder_layers=[1, 1],
+        filename=str(tmp_path / "den_conv"))
+    assert isinstance(model, DenoisingAutoencoder)
+    assert preds is not None and preds.shape == (8, 16, 16)
+    assert np.all(np.isfinite(preds))
+    # without test data the wrapper trains but returns no predictions
+    model2, preds2 = denoise_images(
+        noisy[:24], clean[:24], training_cycles=2, batch_size=8,
+        print_loss=2, encoder_filters=[4, 8], decoder_filters=[8, 4],
+        encoder_layers=[1, 1], decoder_layers=[1, 1],
+        filename=str(tmp_path / "den_conv2"))
+    assert preds2 is None
+
+
 def test_regressor_classifier_save_load_parity(
         fitted_regressor, fitted_classifier, tmp_path):
     """Regressor and Classifier round-trip through save_model/load_model

@@ -108,3 +108,18 @@ def test_vae_in_dim_required():
         VAE(None)
     with pytest.raises(AssertionError):
         VAE(28)
+
+
+@pytest.mark.parametrize("cls", [VAE, rVAE])
+def test_vae_seed_plumbed(imstack, cls):
+    """The ``seed`` kwarg must actually reach the trainer RNG: different
+    seeds give different trained losses, the same seed reproduces
+    exactly (round-5 regression — all four DGM subclasses silently
+    dropped ``seed`` before forwarding to BaseVAE)."""
+    losses = []
+    for seed in (0, 1, 0):
+        m = cls((16, 16), latent_dim=2, seed=seed)
+        _fit(m, imstack)
+        losses.append(float(m.loss_history["train_loss"][-1]))
+    assert losses[0] != losses[1]
+    assert losses[0] == losses[2]
