@@ -42,6 +42,18 @@ def _cached_forward(key, builder):
     return fn
 
 
+def _cast_to_wire(y, fetch_dtype):
+    """Applied INSIDE the jitted forward: casts the output to the wire
+    dtype so the device->host transfer ships fewer bytes. Module-level
+    (captures nothing) so closures stored in ``_FWD_CACHE`` never pin a
+    predictor instance — and its params — for process lifetime."""
+    if fetch_dtype is None:
+        return y
+    if fetch_dtype == "uint8":
+        return jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
+    return y.astype(fetch_dtype)
+
+
 class BasePredictor:
     """Base predictor: jitted forward + chunked batch prediction
     (reference `predictor.py:23-121`)."""
@@ -56,10 +68,12 @@ class BasePredictor:
         # Reduced-precision output fetch: on a tunneled TPU the
         # device->host transfer of full-resolution maps can dominate
         # predict wall time (config A ships 16.8 MB of f32 probability
-        # maps). 'float16'/'bfloat16' halve the wire cost; 'uint8'
-        # (SegPredictor only — probability semantics) quarters it. The
-        # public API still returns float32 (decoded on host); default
-        # None keeps exact f32 end to end.
+        # maps). 'bfloat16' halves the wire cost at full f32 range;
+        # 'float16'/'uint8' (SegPredictor only — bounded probability
+        # semantics) halve/quarter it. The public API still returns
+        # float32 (decoded on host); default None keeps exact f32 end
+        # to end. Baked into the compiled forward at construction —
+        # set it via the constructor, not by attribute mutation.
         self.fetch_dtype = kwargs.get("fetch_dtype")
         if self.fetch_dtype is not None:
             allowed = self._allowed_fetch_dtypes()
@@ -102,27 +116,25 @@ class BasePredictor:
 
     @staticmethod
     def _allowed_fetch_dtypes():
-        # generic predictor outputs are arbitrary-scale: only the
-        # lossless-range float casts are safe (uint8 quantization needs
-        # [0, 1] probability semantics — SegPredictor widens this)
-        return (None, "float16", "bfloat16")
-
-    def _cast_fetch(self, y):
-        """Applied INSIDE the jitted forward: casts the output to the
-        wire dtype so the device->host transfer ships fewer bytes."""
-        if self.fetch_dtype is None:
-            return y
-        if self.fetch_dtype == "uint8":
-            return jnp.clip(jnp.round(y * 255.0), 0, 255).astype(jnp.uint8)
-        return y.astype(self.fetch_dtype)
+        # generic predictor outputs are arbitrary-scale: only bfloat16
+        # keeps the full float32 RANGE (float16 overflows to inf past
+        # |y| > 65504, uint8 quantization needs [0, 1] probability
+        # semantics — SegPredictor, whose outputs are bounded
+        # probabilities, widens this to both)
+        return (None, "bfloat16")
 
     def _decode_fetch(self, arr: np.ndarray) -> np.ndarray:
-        """Host-side inverse of :meth:`_cast_fetch` (back to float32)."""
-        if self.fetch_dtype is None:
-            return arr
-        if self.fetch_dtype == "uint8":
+        """Host-side inverse of :func:`_cast_to_wire` (back to float32).
+
+        Keyed on the ACTUAL wire dtype of the fetched array — not the
+        live ``fetch_dtype`` attribute — so a post-construction mutation
+        of the attribute (which cannot re-trace the cached forward)
+        can never mis-scale the output."""
+        if arr.dtype == np.uint8:
             return arr.astype(np.float32) / 255.0
-        return arr.astype(np.float32)
+        if arr.dtype != np.float32:
+            return arr.astype(np.float32)
+        return arr
 
     def preprocess(self, data):
         return jnp.asarray(np.asarray(data, np.float32))
@@ -135,11 +147,11 @@ class BasePredictor:
 
     def _make_forward(self):
         model = self.model
-        cast = self._cast_fetch
+        fetch = self.fetch_dtype  # baked at first trace (see _cache_key)
 
         @jax.jit
         def fwd(variables, x):
-            return cast(model.apply(variables, x, False))
+            return _cast_to_wire(model.apply(variables, x, False), fetch)
         return fwd
 
     def forward_(self, xnew) -> jnp.ndarray:
@@ -230,9 +242,11 @@ class SegPredictor(BasePredictor):
 
     @staticmethod
     def _allowed_fetch_dtypes():
-        # segmentation outputs are probabilities in [0, 1]: the uint8
-        # x255 quantization (granularity 1/255, far below the 0.5
-        # locator threshold's sensitivity) is additionally safe here
+        # segmentation outputs are probabilities in [0, 1]: float16
+        # (overflow-prone on arbitrary-scale outputs, trivially in range
+        # here) and uint8 x255 quantization (granularity 1/255, far
+        # below the 0.5 locator threshold's sensitivity) are
+        # additionally safe
         return (None, "float16", "bfloat16", "uint8")
 
     def _cache_key(self):
@@ -268,7 +282,7 @@ class SegPredictor(BasePredictor):
         model = self.model
         logits = self.logits
         nb = self.nb_classes
-        cast = self._cast_fetch
+        fetch = self.fetch_dtype
 
         @jax.jit
         def fwd(variables, x):
@@ -278,7 +292,7 @@ class SegPredictor(BasePredictor):
                     else jax.nn.sigmoid(prob)
             else:
                 prob = jnp.exp(prob) if nb > 1 else prob
-            return cast(prob)
+            return _cast_to_wire(prob, fetch)
         return fwd
 
     def predict(self, image_data, return_image: bool = False, **kwargs):

@@ -421,9 +421,13 @@ def main():
         spec.loader.exec_module(mod)
         return mod
 
-    iou_mod = _load_script("measure_iou_parity")
-    iou_stats = iou_mod.measure_ours()  # {n, median, ious, torch_init}
-    iou_ours = iou_stats["median"]
+    try:  # quality gate must not kill the perf bench (nor the artifact)
+        iou_mod = _load_script("measure_iou_parity")
+        iou_stats = iou_mod.measure_ours()  # {n, median, ious, torch_init}
+        iou_ours = iou_stats["median"]
+    except Exception as e:
+        iou_stats = {"error": repr(e)[:200]}
+        iou_ours = None  # not NaN: json.dumps(nan) is invalid JSON
 
     # --- trained-quality parity: rVAE held-out ELBO + angle latent -----
     # the second primary metric's quality gate (round-5): ours trained
@@ -569,7 +573,7 @@ def main():
                 "jVAE/jrVAE: same production fit-loop harness as rVAE "
                 "(32^2 patches, batch 128, 4-way discrete latent); "
                 "denoiser: 200-cycle scan rerun, 64^2 x batch 32"),
-            "iou_ours": round(iou_ours, 4),
+            "iou_ours": None if iou_ours is None else round(iou_ours, 4),
             "iou_ours_stats": iou_stats,
             "iou_ref": REF_IOU_HELDOUT,
             "iou_note": (
@@ -606,7 +610,7 @@ def main():
         "rvae_steps_per_sec": round(rvae_steps_per_sec, 2),
         "rvae_vs_baseline": round(
             rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
-        "iou_ours": round(iou_ours, 4),
+        "iou_ours": None if iou_ours is None else round(iou_ours, 4),
         "iou_ref": REF_IOU_HELDOUT,
         # medians only — the per-seed lists live in the detail line and
         # would bloat the tail-surviving headline

@@ -37,11 +37,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.hookimpl(trylast=True)
 def pytest_collection_modifyitems(config, items):
     """Kick off the shared example-runner subprocess the moment we know
     smoke tests were collected — its ~90 s of work then overlaps the
     suite instead of serializing in the first smoke test's setup
-    (tests/test_examples.py::launch_runner, VERDICT r4 #7)."""
+    (tests/test_examples.py::launch_runner, VERDICT r4 #7).
+
+    trylast: run AFTER pytest's own -k/-m deselection has filtered
+    ``items``, so a ``-k other_test`` session never launches (and then
+    orphans) the runner; --collect-only sessions skip it entirely. A
+    runner that does launch is reaped at interpreter exit either way
+    (test_examples._cleanup_runner)."""
+    if getattr(config.option, "collectonly", False):
+        return
     for item in items:
         if (item.fspath.basename == "test_examples.py"
                 and item.name.startswith("test_example_runs_smoke[")):

@@ -71,12 +71,29 @@ def test_invalid_fetch_dtype_rejected(trained):
     model, _ = trained
     with pytest.raises(ValueError, match="fetch_dtype"):
         _predictor(model, fetch_dtype="int4")
-    # uint8 needs probability semantics: the generic BasePredictor
-    # refuses it (SegPredictor widens the allowed set)
+    # uint8 needs probability semantics and float16 overflows past
+    # |y| > 65504: the generic arbitrary-scale BasePredictor refuses
+    # both (SegPredictor's bounded [0, 1] outputs widen the allowed set)
     from atomai_tpu.predictors.predictor import BasePredictor
-    with pytest.raises(ValueError, match="fetch_dtype"):
-        BasePredictor(model.net, model.params, model.batch_stats,
-                      fetch_dtype="uint8")
+    for wire in ("uint8", "float16"):
+        with pytest.raises(ValueError, match="fetch_dtype"):
+            BasePredictor(model.net, model.params, model.batch_stats,
+                          fetch_dtype=wire)
+    # bfloat16 keeps f32 range: allowed on the generic predictor
+    BasePredictor(model.net, model.params, model.batch_stats,
+                  fetch_dtype="bfloat16")
+
+
+def test_fetch_dtype_mutation_cannot_misscale(trained):
+    """fetch_dtype is baked at first trace; decode keys on the ACTUAL
+    wire dtype, so mutating the attribute afterwards cannot mis-scale
+    the output (it is simply ignored)."""
+    model, imgs = trained
+    p = _predictor(model)
+    exact = p.predict(imgs[:2])
+    p.fetch_dtype = "uint8"  # too late: forward cached with f32 wire
+    after = p.predict(imgs[:2])
+    np.testing.assert_array_equal(exact, after)
 
 
 def test_model_predict_accepts_fetch_dtype(trained):

@@ -71,10 +71,30 @@ def _run(name, smoke=True):
 STANDALONE = ["multichip_training.py"]
 SHARED = [n for n in ALL if n not in STANDALONE]
 
+import atexit  # noqa: E402
 import json  # noqa: E402
 import tempfile  # noqa: E402
 
 _runner = {}
+
+
+def _cleanup_runner():
+    """Kill a still-live runner and unlink its temp files at interpreter
+    exit — covers deselected/-k/collect-only sessions that launched the
+    runner but never joined it, and removes the delete=False spool files
+    on every path (they previously leaked one .out/.err pair per run)."""
+    p = _runner.get("proc")
+    if p is not None and p.poll() is None:
+        p.kill()
+        p.wait()
+    for k in ("out", "err"):
+        f = _runner.get(k)
+        if f is not None:
+            try:
+                f.close()
+                os.unlink(f.name)
+            except OSError:
+                pass
 
 
 def launch_runner():
@@ -97,6 +117,7 @@ def launch_runner():
                             stdout=out, stderr=err, text=True,
                             env=env, cwd="/tmp")
     _runner.update(proc=proc, out=out, err=err)
+    atexit.register(_cleanup_runner)
     return _runner
 
 
