@@ -187,6 +187,18 @@ def main():
     pred_stat = repeat_timed(predict_once, n=REPEATS_FAST)
     t_pred = pred_stat["median"]
 
+    # informational: the opt-in uint8 output wire (production knob for
+    # tunneled deployments — quarters the 16.8 MB probability-map fetch;
+    # quantization 1/255, far below the locator's 0.5 threshold). The
+    # PRIMARY metric stays the exact-f32 path above.
+    def predict_once_u8():
+        out = m.predict(imgs, compute_coords=False, verbose=False,
+                        num_batches=2, fetch_dtype="uint8")
+        assert out.shape == (N_IMG, SIZE, SIZE, 1)
+
+    predict_once_u8()
+    pred_u8_stat = repeat_timed(predict_once_u8, n=REPEATS_FAST)
+
     # per-phase split, measured the same way as the timed call (warmed,
     # repeated, fetch-forced — round-4's single-shot cold split summed to
     # more than the total it was meant to explain). Phases 1-2 fetch one
@@ -481,6 +493,8 @@ def main():
             "train_stats": train_stat,
             "predict_s": t_pred,
             "predict_stats": pred_stat,
+            "predict_s_uint8_wire": pred_u8_stat["median"],
+            "predict_uint8_stats": pred_u8_stat,
             "predict_phase_split_s": {
                 "preprocess_upload_norm": pre_stat["median"],
                 "preprocess_stats": pre_stat,
@@ -607,6 +621,7 @@ def main():
         "vs_baseline": round(ours / ref, 2),
         "train_s": t_train,
         "predict_s": t_pred,
+        "predict_s_u8": pred_u8_stat["median"],
         "rvae_steps_per_sec": round(rvae_steps_per_sec, 2),
         "rvae_vs_baseline": round(
             rvae_steps_per_sec / REF_RVAE_STEPS_PER_SEC, 1),
