@@ -96,6 +96,23 @@ def test_fetch_dtype_mutation_cannot_misscale(trained):
     np.testing.assert_array_equal(exact, after)
 
 
+def test_forward_cache_does_not_pin_predictor(trained):
+    """The module-global jitted-forward cache must key on the (hashable)
+    net module + scalars only — a closure capturing the predictor would
+    pin its full parameter set in device memory for process lifetime
+    (one dead param set per architecture in a long session)."""
+    import gc
+    import weakref
+    model, imgs = trained
+    p = _predictor(model)
+    p.predict(imgs[:2])  # populates _FWD_CACHE
+    ref = weakref.ref(p)
+    del p
+    gc.collect()
+    assert ref() is None, \
+        "_FWD_CACHE closure pins the predictor (device-memory leak)"
+
+
 def test_model_predict_accepts_fetch_dtype(trained):
     """The user-facing Segmentor.predict path threads fetch_dtype."""
     model, imgs = trained
