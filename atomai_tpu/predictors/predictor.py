@@ -56,7 +56,22 @@ def _cast_to_wire(y, fetch_dtype):
 
 class BasePredictor:
     """Base predictor: jitted forward + chunked batch prediction
-    (reference `predictor.py:23-121`)."""
+    (reference `predictor.py:23-121`). Accepts ``fetch_dtype``
+    (reduced-precision output wire for remote TPUs), ``mesh``
+    (shard the frame axis), and ``verbose`` keyword args — details
+    below.
+
+    Keyword args (also accepted through every model's ``predict``):
+    ``fetch_dtype`` — output wire dtype for the device->host fetch:
+    ``None`` (default, exact float32), ``'bfloat16'`` (half the wire
+    bytes, full f32 range), or — on predictors with bounded outputs,
+    e.g. :class:`SegPredictor` probability maps — ``'float16'`` /
+    ``'uint8'`` (half / quarter). The returned array is always decoded
+    back to float32 on the host; choose it at construction (it is baked
+    into the compiled forward). ``mesh`` — a ``jax.sharding.Mesh`` to
+    shard the frame/tile axis over (``None`` auto-builds a data mesh on
+    multi-device hosts, ``False`` disables). ``verbose`` — progress
+    prints."""
 
     def __init__(self, model=None, params=None, batch_stats=None,
                  **kwargs):

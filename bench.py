@@ -134,6 +134,46 @@ def repeat_timed(fn, n: int = REPEATS):
             "times": [round(t, 4) for t in times]}
 
 
+HEADLINE_BUDGET = 1900
+# The driver's artifact keeps only the LAST 2000 chars of stdout
+# (BENCH_r04.json lost the primary metric to that window). The headline
+# is printed last, so it survives iff it fits inside the window with
+# margin for the trailing newline. If a pathological payload (e.g. long
+# error strings from a failed quality gate) overflows the budget, keys
+# are dropped in this order — each is recoverable from the full detail
+# line printed above — and the drop is recorded under "trimmed".
+_HEADLINE_DROP_ORDER = ("tunnel_probe_end", "rvae_quality_ref",
+                        "rvae_quality_ours", "dtype", "tunnel_probe",
+                        "locator_64x512_s", "denoiser_cps", "jrvae_sps",
+                        "jvae_sps", "dklgpr_vs", "ensemble_vs",
+                        "imspec_vs")
+
+
+def render_headline(payload: dict, budget: int = HEADLINE_BUDGET) -> str:
+    """Serializes the headline payload, trimming droppable keys until it
+    fits the driver's stdout-tail budget. Never raises: the primary
+    metric must reach the artifact even on a degenerate payload."""
+    s = json.dumps(payload)
+    if len(s) <= budget:
+        return s
+    payload = dict(payload)
+    trimmed = []
+    for key in _HEADLINE_DROP_ORDER:
+        if key in payload:
+            del payload[key]
+            trimmed.append(key)
+            payload["trimmed"] = trimmed
+            s = json.dumps(payload)
+            if len(s) <= budget:
+                return s
+    # last resort: primary contract keys only
+    core = {k: payload.get(k) for k in ("metric", "value", "unit",
+                                        "vs_baseline", "train_s",
+                                        "predict_s")}
+    core["trimmed"] = "all_optional"
+    return json.dumps(core)
+
+
 def main():
     _require_device()
     import jax
@@ -614,7 +654,7 @@ def main():
     # compact HEADLINE line LAST: the driver's artifact keeps the TAIL
     # of stdout, so this line is the one that must carry the primary
     # metric + the keys a reader needs to interpret it (VERDICT r4 #1)
-    print(json.dumps({
+    print(render_headline({
         "metric": "segmentor_512eq_images_per_sec_train_predict",
         "value": round(ours, 3),
         "unit": "images/s",
