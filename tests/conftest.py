@@ -51,11 +51,18 @@ def pytest_collection_modifyitems(config, items):
     (test_examples._cleanup_runner)."""
     if getattr(config.option, "collectonly", False):
         return
+    launched_shared = False
     for item in items:
-        if (item.fspath.basename == "test_examples.py"
+        if item.fspath.basename != "test_examples.py":
+            continue
+        if (not launched_shared
                 and item.name.startswith("test_example_runs_smoke[")):
             item.module.launch_runner()
-            break
+            launched_shared = True
+        elif item.name.startswith("test_example_runs_smoke_standalone["):
+            # standalone examples (own interpreter by design) overlap
+            # the suite the same way the shared runner does
+            item.module.launch_standalone(item.callspec.params["name"])
 
 
 @pytest.fixture(scope="session")

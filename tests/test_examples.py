@@ -76,6 +76,46 @@ import json  # noqa: E402
 import tempfile  # noqa: E402
 
 _runner = {}
+_standalone = {}
+
+
+def launch_standalone(name):
+    """Start a STANDALONE example (own interpreter by design — it sets
+    XLA_FLAGS before jax initializes) without blocking, mirroring
+    launch_runner: conftest calls this at collection so the example's
+    ~35 s overlaps the suite instead of serializing inside its test
+    (the last serialized block of the round-4 #7 suite-time ask). The
+    test joins via ``_join_standalone``; ``_cleanup_runner`` reaps a
+    launched-but-never-joined process on -k/deselection paths."""
+    if name in _standalone:
+        return _standalone[name]
+    env = _example_env(smoke=True)
+    out = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".out", prefix="aoi_standalone_", delete=False)
+    err = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=".err", prefix="aoi_standalone_", delete=False)
+    proc = subprocess.Popen([sys.executable, os.path.join(EXAMPLES, name)],
+                            stdout=out, stderr=err, text=True,
+                            env=env, cwd="/tmp")
+    _standalone[name] = {"proc": proc, "out": out, "err": err}
+    atexit.register(_cleanup_runner)
+    return _standalone[name]
+
+
+def _join_standalone(name):
+    h = launch_standalone(name)  # idempotent: direct test runs too
+    try:
+        rc = h["proc"].wait(timeout=900)
+    except subprocess.TimeoutExpired:
+        h["proc"].kill()
+        h["proc"].wait()
+        rc = "timeout"
+    for f in (h["out"], h["err"]):
+        f.flush()
+        f.seek(0)
+    stdout, stderr = h["out"].read(), h["err"].read()
+    assert rc == 0, \
+        f"{name} failed (rc={rc}):\n{stdout[-2000:]}\n{stderr[-2000:]}"
 
 
 def _cleanup_runner():
@@ -83,18 +123,19 @@ def _cleanup_runner():
     exit — covers deselected/-k/collect-only sessions that launched the
     runner but never joined it, and removes the delete=False spool files
     on every path (they previously leaked one .out/.err pair per run)."""
-    p = _runner.get("proc")
-    if p is not None and p.poll() is None:
-        p.kill()
-        p.wait()
-    for k in ("out", "err"):
-        f = _runner.get(k)
-        if f is not None:
-            try:
-                f.close()
-                os.unlink(f.name)
-            except OSError:
-                pass
+    for h in (_runner, *_standalone.values()):
+        p = h.get("proc")
+        if p is not None and p.poll() is None:
+            p.kill()
+            p.wait()
+        for k in ("out", "err"):
+            f = h.get(k)
+            if f is not None:
+                try:
+                    f.close()
+                    os.unlink(f.name)
+                except OSError:
+                    pass
 
 
 def launch_runner():
@@ -159,7 +200,7 @@ def test_example_runs_smoke(name, smoke_results):
 
 @pytest.mark.parametrize("name", STANDALONE)
 def test_example_runs_smoke_standalone(name):
-    _run(name, smoke=True)
+    _join_standalone(name)
 
 
 @pytest.mark.skipif(not os.environ.get("AOI_RUN_ALL_EXAMPLES"),
